@@ -1,0 +1,365 @@
+"""Deterministic geospatial fixture generation (seed 42) + numpy goldens.
+
+Per FIXTURES.md: the driver's TPC-H-ish tables cover relational parity;
+the geospatial tables (`pages`, `polygons`, `pois`, `census_long`) are
+synthesized here, deterministically, at a scale matched to the driver's
+sf directory. Golden outputs (geoparse, PIP assignments, kNN) are produced
+by an INDEPENDENT brute-force numpy implementation of the reference
+semantics — these parquet files are what `oracle_sql()` reads for the
+non-SQL-expressible spatial operators, and what the pytest suite pins.
+
+Layout: /root/repo/data/geo/<sfname>/{pages,polygons,pois,census_long,
+golden_geoparsed,golden_assignments,golden_knn}.parquet
+
+Everything is a pure function of the scale name; a version marker file
+invalidates stale caches when generation logic changes.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from socialmapper_spark.geo.albers import albers5070_forward
+from socialmapper_spark.geo.geoparse import GAZETTEER, geoparse_py
+from socialmapper_spark.geo.hull import convex_hull
+from socialmapper_spark.geo.pip import points_in_polygon
+from socialmapper_spark.geo.wkb import polygon_to_wkb, wkb_to_rings
+from socialmapper_spark.functions.scalar import KM_TO_MILES
+
+FIXTURE_VERSION = "v5"
+GEO_ROOT = pathlib.Path("/root/repo/data/geo")
+
+# bbox: synthetic NC-like grid (FIXTURES.md §2)
+LAT0, LAT1 = 35.0, 36.0
+LON0, LON1 = -79.5, -78.0
+GRID_STEP = 0.05  # block-group cell edge in degrees
+
+PAGE_COUNTS = {"sf0.001": 2_000, "sf0.01": 60_000, "sf0.1": 600_000}
+POI_COUNTS = {"sf0.001": 5, "sf0.01": 5, "sf0.1": 50}
+
+# three dense "urban" centers for Zipf-style hot-cell skew (70% of rows)
+URBAN_CENTERS = [(35.78, -78.64), (35.99, -78.90), (35.91, -79.06)]
+
+VARIABLE_CODES = ["B01003_001E", "B19013_001E", "B01002_001E", "B25044_003E", "B25044_010E"]
+
+EPOCH_US = 1750377600000000  # 2025-06-20T00:00:00Z in microseconds
+
+_EN_FILLER = "the quick survey of local amenities and services in this area is part of our coverage"
+_ES_FILLER = "el informe de la zona describe los servicios que una comunidad necesita cada semana"
+
+
+def sf_name_from_dir(sf_dir: str) -> str:
+    name = pathlib.Path(sf_dir).name
+    return name if name in PAGE_COUNTS else "sf0.01"
+
+
+def geo_dir_for(sf_dir: str) -> pathlib.Path:
+    """Ensure fixtures exist for the driver sf dir; return their directory."""
+    name = sf_name_from_dir(sf_dir)
+    out = GEO_ROOT / name
+    marker = out / f".{FIXTURE_VERSION}"
+    if not marker.exists():
+        generate(name)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generation
+# ---------------------------------------------------------------------------
+
+def _gen_polygons(rng: np.random.Generator, pois: dict) -> tuple[pa.Table, list]:
+    """Block-group grid + isochrone hulls. Returns (table, parsed_polys)."""
+    ids, kinds, geoids, states, counties, tracts, blkgrps = [], [], [], [], [], [], []
+    ttimes, tmodes, wkbs = [], [], []
+    polys = []  # (poly_id, kind, geoid, rings) for golden computation
+
+    n_lon = round((LON1 - LON0) / GRID_STEP)  # 30
+    n_lat = round((LAT1 - LAT0) / GRID_STEP)  # 20
+    for iy in range(n_lat):
+        for ix in range(n_lon):
+            lon_a, lat_a = LON0 + ix * GRID_STEP, LAT0 + iy * GRID_STEP
+            ring = np.array(
+                [
+                    [lon_a, lat_a],
+                    [lon_a + GRID_STEP, lat_a],
+                    [lon_a + GRID_STEP, lat_a + GRID_STEP],
+                    [lon_a, lat_a + GRID_STEP],
+                ]
+            )
+            tract = f"{(iy * n_lon + ix) // 9 + 100:06d}"
+            bg = str((iy * n_lon + ix) % 9 + 1)
+            geoid = f"37183{tract}{bg}"
+            pid = f"bg_{iy:02d}_{ix:02d}"
+            ids.append(pid)
+            kinds.append("blockgroup")
+            geoids.append(geoid)
+            states.append("37")
+            counties.append("183")
+            tracts.append(tract)
+            blkgrps.append(bg)
+            ttimes.append(None)
+            tmodes.append(None)
+            wkbs.append(polygon_to_wkb([ring]))
+            polys.append((pid, "blockgroup", geoid, [ring]))
+
+    # isochrones: convex hulls of seeded point clouds around the first 5 POIs
+    # (reference algorithm: hull of reached nodes, clustering.py:403-418).
+    for j in range(min(5, len(pois["lat"]))):
+        clat, clon = pois["lat"][j], pois["lon"][j]
+        # radius grows with j so isochrones 3 and 4 overlap (FIXTURES.md §3)
+        radius = 0.04 + 0.015 * j
+        ang = rng.uniform(0, 2 * np.pi, 48)
+        rad = radius * np.sqrt(rng.uniform(0.3, 1.0, 48))
+        cloud = np.column_stack([clon + rad * np.cos(ang), clat + rad * np.sin(ang)])
+        hull = convex_hull(cloud)
+        pid = f"iso_{j}"
+        ids.append(pid)
+        kinds.append("isochrone")
+        geoids.append(f"ISO{j:09d}")
+        states.append("37")
+        counties.append("183")
+        tracts.append(None)
+        blkgrps.append(None)
+        ttimes.append(15)
+        tmodes.append("drive")
+        wkbs.append(polygon_to_wkb([hull]))
+        polys.append((pid, "isochrone", f"ISO{j:09d}", [hull]))
+
+    table = pa.table(
+        {
+            "poly_id": pa.array(ids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "GEOID": pa.array(geoids, pa.string()),
+            "STATE": pa.array(states, pa.string()),
+            "COUNTY": pa.array(counties, pa.string()),
+            "TRACT": pa.array(tracts, pa.string()),
+            "BLKGRP": pa.array(blkgrps, pa.string()),
+            "travel_time_minutes": pa.array(ttimes, pa.int32()),
+            "travel_mode": pa.array(tmodes, pa.string()),
+            "geometry_wkb": pa.array(wkbs, pa.binary()),
+        }
+    )
+    return table, polys
+
+
+def _gen_pois(rng: np.random.Generator, n: int) -> dict:
+    lat = rng.uniform(LAT0 + 0.1, LAT1 - 0.1, n)
+    lon = rng.uniform(LON0 + 0.1, LON1 - 0.1, n)
+    # anchor the first POIs near the dense urban centers so their isochrones
+    # actually cover page mass (the flagship query aggregates within them)
+    for j, (clat, clon) in enumerate(URBAN_CENTERS[: min(n, len(URBAN_CENTERS))]):
+        lat[j] = clat + 0.01
+        lon[j] = clon - 0.01
+    names = [f"POI {i}" for i in range(n)]
+    rows = {
+        "id": [f"custom_{i}" for i in range(n)],
+        "name": names,
+        "type": ["custom"] * n,
+        "lat": lat.round(6),
+        "lon": lon.round(6),
+        "state": ["NC"] * n,
+    }
+    return rows
+
+
+def _build_texts(rng, n, lat, lon, has_coord, has_mention, lang):
+    """Deterministic page text. Coordinates printed '%.6f, %.6f'."""
+    gaz_names = list(GAZETTEER)
+    mention_pick = rng.integers(0, len(gaz_names), size=(n, 2))
+    n_mentions = rng.integers(1, 3, size=n)
+    texts = []
+    for i in range(n):
+        parts = [_ES_FILLER if lang[i] == "es" else _EN_FILLER]
+        if has_mention[i]:
+            for j in range(n_mentions[i]):
+                parts.append(f"near {gaz_names[mention_pick[i, j]]} today")
+        if has_coord[i]:
+            parts.append(f"located at {lat[i]:.6f}, {lon[i]:.6f} on the map")
+        parts.append(f"article {i}")
+        texts.append(" ".join(parts))
+    return texts
+
+
+def generate(name: str) -> pathlib.Path:
+    n = PAGE_COUNTS[name]
+    out = GEO_ROOT / name
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    # --- pois ------------------------------------------------------------
+    pois = _gen_pois(rng, POI_COUNTS[name])
+    poi_table = pa.table(
+        {k: pa.array(v) for k, v in pois.items()}
+    )
+    # one invalid row to exercise P1 quarantine (lat=95.0, FIXTURES.md §4)
+    bad = pa.table(
+        {
+            "id": ["custom_invalid"],
+            "name": ["Invalid POI"],
+            "type": ["custom"],
+            "lat": [95.0],
+            "lon": [-78.9],
+            "state": ["NC"],
+        }
+    )
+    pq.write_table(pa.concat_tables([poi_table, bad]), out / "pois.parquet")
+
+    # --- polygons ---------------------------------------------------------
+    poly_table, polys = _gen_polygons(rng, pois)
+    pq.write_table(poly_table, out / "polygons.parquet")
+
+    # --- pages -------------------------------------------------------------
+    u = rng.uniform(0, 1, n)
+    urban_idx = rng.integers(0, len(URBAN_CENTERS), n)
+    centers = np.array(URBAN_CENTERS)
+    lat = np.where(
+        u < 0.7,
+        centers[urban_idx, 0] + rng.normal(0, 0.004, n),
+        rng.uniform(LAT0, LAT1, n),
+    ).round(6)
+    lon = np.where(
+        u < 0.7,
+        centers[urban_idx, 1] + rng.normal(0, 0.004, n),
+        rng.uniform(LON0, LON1, n),
+    ).round(6)
+
+    sig = rng.uniform(0, 1, n)
+    no_signal = sig < 0.10
+    has_coord = (~no_signal) & (sig < 0.10 + 0.63)  # 70% of signal rows
+    has_mention = (~no_signal) & (rng.uniform(0, 1, n) < 0.5)
+    has_mention |= (~no_signal) & ~has_coord  # mention-only rows need ≥1 mention
+    lang = np.where(rng.uniform(0, 1, n) < 0.9, "en", "es")
+
+    texts = _build_texts(rng, n, lat, lon, has_coord, has_mention, lang)
+    urls = [f"https://example.org/nc/page/{i}" for i in range(n)]
+    htmls = [b"<html><body>" + t.encode() + b"</body></html>" for t in texts]
+    ts = pa.array(EPOCH_US + np.arange(n, dtype=np.int64) * 1_000_000,
+                  pa.timestamp("us", tz="UTC"))
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang.tolist(), pa.string()),
+        }
+    )
+    pq.write_table(pages, out / "pages.parquet", row_group_size=65536)
+
+    # --- census_long --------------------------------------------------------
+    geoids = [p[2] for p in polys if p[1] == "blockgroup"]
+    g_list, c_list, v_list = [], [], []
+    ranges = {
+        "B01003_001E": (500.0, 3000.0),
+        "B19013_001E": (30000.0, 120000.0),
+        "B01002_001E": (25.0, 55.0),
+        "B25044_003E": (0.0, 300.0),
+        "B25044_010E": (0.0, 300.0),
+    }
+    k = 0
+    for g in geoids:
+        for code in VARIABLE_CODES:
+            lo, hi = ranges[code]
+            val = float(np.round(rng.uniform(lo, hi), 1))
+            # deterministic sentinel injection (pins P3 cleansing)
+            if k % 97 == 3:
+                val = -999999999.0
+            elif k % 97 == 11:
+                val = -666666666.0
+            elif k % 97 == 23 and code.startswith("B19"):
+                val = -1.0
+            elif k % 97 == 31:
+                val = -222222222.0
+            g_list.append(g)
+            c_list.append(code)
+            v_list.append(val)
+            k += 1
+    census = pa.table(
+        {
+            "geoid": pa.array(g_list, pa.string()),
+            "variable_code": pa.array(c_list, pa.string()),
+            "value": pa.array(v_list, pa.float64()),
+            "year": pa.array([2023] * len(g_list), pa.int32()),
+            "dataset": pa.array(["acs/acs5"] * len(g_list), pa.string()),
+        }
+    )
+    pq.write_table(census, out / "census_long.parquet")
+
+    # --- goldens (independent brute-force numpy implementation) -------------
+    _write_goldens(out, urls, texts, polys, pois)
+
+    (out / f".{FIXTURE_VERSION}").touch()
+    return out
+
+
+def _write_goldens(out, urls, texts, polys, pois):
+    # golden geoparse: pure-Python twin, row at a time (the honest oracle)
+    g_lat, g_lon, g_mentions = [], [], []
+    for t in texts:
+        la, lo, m = geoparse_py(t)
+        g_lat.append(la)
+        g_lon.append(lo)
+        g_mentions.append(m)
+    geop = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "lat": pa.array(g_lat, pa.float64()),
+            "lon": pa.array(g_lon, pa.float64()),
+            "mentions": pa.array(g_mentions, pa.list_(pa.string())),
+        }
+    )
+    pq.write_table(geop, out / "golden_geoparsed.parquet")
+
+    lat_arr = np.array([x if x is not None else np.nan for x in g_lat])
+    lon_arr = np.array([x if x is not None else np.nan for x in g_lon])
+    has = ~np.isnan(lat_arr)
+    idx = np.nonzero(has)[0]
+    px, py = lon_arr[has], lat_arr[has]
+
+    # golden PIP assignments: brute force every polygon vs every point
+    a_url, a_pid, a_geoid, a_kind = [], [], [], []
+    for pid, kind, geoid, rings in polys:
+        mask = points_in_polygon(px, py, rings)
+        for j in np.nonzero(mask)[0]:
+            a_url.append(urls[idx[j]])
+            a_pid.append(pid)
+            a_geoid.append(geoid)
+            a_kind.append(kind)
+    assign = pa.table(
+        {
+            "url": pa.array(a_url, pa.string()),
+            "poly_id": pa.array(a_pid, pa.string()),
+            "GEOID": pa.array(a_geoid, pa.string()),
+            "kind": pa.array(a_kind, pa.string()),
+        }
+    )
+    pq.write_table(assign, out / "golden_assignments.parquet")
+
+    # golden kNN (k=1): brute-force min Euclidean distance in EPSG:5070 km
+    # (reference semantics: distance/engine.py:54-109), km→miles ×0.621371.
+    poi_x, poi_y = albers5070_forward(np.asarray(pois["lat"]), np.asarray(pois["lon"]))
+    pg_x, pg_y = albers5070_forward(py, px)
+    d2 = (pg_x[:, None] - poi_x[None, :]) ** 2 + (pg_y[:, None] - poi_y[None, :]) ** 2
+    nearest = np.argmin(d2, axis=1)
+    dist_km = np.sqrt(d2[np.arange(d2.shape[0]), nearest]) / 1000.0
+    knn = pa.table(
+        {
+            "url": pa.array([urls[i] for i in idx], pa.string()),
+            "poi_id": pa.array([pois["id"][j] for j in nearest], pa.string()),
+            "distance_km": pa.array(dist_km, pa.float64()),
+            "distance_miles": pa.array(dist_km * KM_TO_MILES, pa.float64()),
+        }
+    )
+    pq.write_table(knn, out / "golden_knn.parquet")
+
+
+if __name__ == "__main__":
+    import sys
+
+    for nm in sys.argv[1:] or ["sf0.001", "sf0.01"]:
+        p = generate(nm)
+        print("generated", p)
