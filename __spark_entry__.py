@@ -1,38 +1,688 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (per-isochrone travel-time-band
+demographic aggregation) at sf0.001. ``queries()`` exposes one entry per
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+extensions; ``oracle_sql()`` gives the DuckDB twin for each.
+
+Geospatial inputs (pages/polygons/pois/census_long) are deterministic
+seed-42 fixtures generated under /root/repo/data/geo/<sf>/ on first use
+(FIXTURES.md); the PIP/kNN oracles read brute-force numpy goldens
+produced by an independent single-node implementation of the reference
+semantics (golden_* parquet) — the same oracle strategy as SURVEY.md
+§5.2. All aggregates use exact decimal sums cast back to double so Spark
+and DuckDB produce bit-identical values regardless of accumulation order.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, "/root/repo")
+
+GEO_SF01 = "/root/repo/data/geo/sf0.01"
+
+
+def _geo(sf_dir: str) -> str:
+    from socialmapper_spark.fixtures import geo_dir_for
+
+    return str(geo_dir_for(sf_dir))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_geo(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{_geo(sf_dir)}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-isochrone demographic summary at sf0.001."""
+    from socialmapper_spark.pipeline import flagship_query
+
+    sf = "/root/testdata/sf0.001"
+    return flagship_query(
+        spark,
+        _read_geo(spark, sf, "pages"),
+        _read_geo(spark, sf, "polygons"),
+        _read_geo(spark, sf, "census_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — engine side
+# ---------------------------------------------------------------------------
+
+def q_geoparse(spark, sf_dir):
+    """F18/F19: geoparse + cell encode, pure Catalyst."""
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    out = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    return out.select(
+        "url", "lat", "lon",
+        F.array_join("mentions", "|").alias("mentions_str"),
+        "cell_r7", "cell_r9",
+    )
+
+
+def q_pip_assignments(spark, sf_dir):
+    """J1/J2: two-phase PIP spatial join."""
+    from socialmapper_spark.pipeline import page_assignments
+
+    out = page_assignments(
+        spark, _read_geo(spark, sf_dir, "pages"), _read_geo(spark, sf_dir, "polygons")
+    )
+    return out.select("url", "poly_id", "GEOID", "kind")
+
+
+def q_knn_nearest(spark, sf_dir):
+    """J3/T3: nearest POI per page (broadcast brute force, parity path)."""
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    out = knn_join(spark, geop, pois, k=1, strategy="broadcast")
+    return out.select("url", "poi_id", "distance_km", "distance_miles")
+
+
+def q_knn_kring(spark, sf_dir):
+    """J3 scale path: k-ring pruned kNN — must equal the brute force."""
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    out = knn_join(spark, geop, pois, k=1, strategy="kring")
+    return out.select("url", "poi_id", "distance_km", "distance_miles")
+
+
+def q_flagship(spark, sf_dir):
+    """Flagship travel-time-band demographics (A1 + J1/J2/J4 composed)."""
+    from socialmapper_spark.pipeline import flagship_query
+
+    return flagship_query(
+        spark,
+        _read_geo(spark, sf_dir, "pages"),
+        _read_geo(spark, sf_dir, "polygons"),
+        _read_geo(spark, sf_dir, "census_long"),
+    )
+
+
+def q_census_cleanse(spark, sf_dir):
+    """P3 sentinel cleansing (exact reference rules)."""
+    from socialmapper_spark.functions.scalar import cleanse_census_value
+
+    cl = _read_geo(spark, sf_dir, "census_long")
+    return cl.select(
+        "geoid", "variable_code",
+        cleanse_census_value(F.col("variable_code"), F.col("value")).alias("value_clean"),
+    )
+
+
+def q_census_pivot(spark, sf_dir):
+    """J4: long → wide pivot with cleansing."""
+    from socialmapper_spark.operators.census import pivot_census
+
+    return pivot_census(_read_geo(spark, sf_dir, "census_long"))
+
+
+def q_geoid_components(spark, sf_dir):
+    """F10: GEOID split into hierarchy components."""
+    from socialmapper_spark.functions.scalar import geoid_split
+
+    polys = _read_geo(spark, sf_dir, "polygons").filter(F.col("kind") == "blockgroup")
+    parts = geoid_split(F.col("GEOID"))
+    return polys.select(
+        "GEOID",
+        parts["state_fips"].alias("state_fips"),
+        parts["county_fips"].alias("county_fips"),
+        parts["tract"].alias("tract"),
+        parts["block_group"].alias("block_group"),
+    )
+
+
+def q_state_bounds(spark, sf_dir):
+    """S2/F14: hard-coded state bbox filter over geoparsed pages."""
+    from socialmapper_spark.functions.scalar import state_bounds_filter
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages")).filter(
+        F.col("lat").isNotNull()
+    )
+    return state_bounds_filter(geop, "NC").select("url", "lat", "lon")
+
+
+def q_dedup_units(spark, sf_dir):
+    """A2: dedup group-by with min/first agg rules over PIP+kNN output."""
+    from socialmapper_spark.operators.census import dedup_units
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages, page_assignments
+
+    assigns = page_assignments(
+        spark, _read_geo(spark, sf_dir, "pages"), _read_geo(spark, sf_dir, "polygons")
+    ).filter(F.col("kind") == "blockgroup")
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    knn = knn_join(spark, geop, pois, k=1, strategy="broadcast")
+    units = assigns.select("url", "GEOID").join(knn, "url")
+    return dedup_units(
+        units,
+        keys=["GEOID"],
+        min_cols=["distance_miles"],
+        first_cols=["poi_id"],
+        order_col="url",
+    ).withColumnRenamed("poi_id", "first_poi_id")
+
+
+def q_demographic_summary(spark, sf_dir):
+    """A1: sum/mean dispatch over the cleansed wide census frame."""
+    from socialmapper_spark.operators.census import demographic_summary, pivot_census
+
+    wide = pivot_census(_read_geo(spark, sf_dir, "census_long"))
+    return demographic_summary(
+        wide, ["B01003_001E", "B19013_001E", "B01002_001E", "B25044_003E", "B25044_010E"]
+    )
+
+
+def q_coordinate_quarantine(spark, sf_dir):
+    """P1: invalid-coordinate quarantine (returns the rejected rows)."""
+    from socialmapper_spark.functions.scalar import validate_coordinates
+
+    pois = _read_geo(spark, sf_dir, "pois")
+    _, bad = validate_coordinates(pois)
+    return bad.select("id", "lat", "lon")
+
+
+# --- relational parity over the driver's TPC-H-ish tables -------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A-family hash aggregate (TPC-H Q1 shape) with exact decimal sums."""
+    from socialmapper_spark.operators.census import dmean, dsum
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dmean("l_quantity").alias("avg_qty"),
+            dmean("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_market_join(spark, sf_dir):
+    """Broadcast equi-join chain: customer ⨝ orders ⨝ nation."""
+    from socialmapper_spark.operators.census import dsum
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Window top-k: top 3 customers by revenue per market segment."""
+    from pyspark.sql import Window
+    from socialmapper_spark.operators.census import dsum
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "revenue", "rank")
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """T1: seeded/deterministic sampling — md5-keyed order + limit."""
+    orders = _read(spark, sf_dir, "orders")
+    keyed = orders.withColumn(
+        "sample_key", F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    )
+    return keyed.orderBy("sample_key").limit(100).select("o_orderkey", "sample_key")
+
+
+def q_semi_join(spark, sf_dir):
+    """J6: membership via left-semi join."""
+    orders = _read(spark, sf_dir, "orders")
+    rich = _read(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    return orders.join(rich, orders["o_custkey"] == rich["c_custkey"], "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_union_all(spark, sf_dir):
+    """U1/U2: union-all of heterogeneous sources with a source tag."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp)
+
+
+# --- training-data pipeline ops over documents/embeddings --------------------
+
+def q_doc_stats(spark, sf_dir):
+    """Token counting + quality scoring (pure Catalyst)."""
+    from socialmapper_spark.functions.text import bpe_token_count, quality_score_cols, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    qc = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        qc["alpha_ratio"].alias("alpha_ratio"),
+        qc["avg_word_len"].alias("avg_word_len"),
+        qc["quality_score"].alias("quality_score"),
+    )
+
+
+def q_language_id(spark, sf_dir):
+    """Heuristic language ID over documents."""
+    from socialmapper_spark.functions.text import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via md5 fingerprint: keep min doc_id per fingerprint."""
+    from socialmapper_spark.functions.text import doc_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs over documents."""
+    from socialmapper_spark.operators.dedup import near_dup_pairs_minhash
+
+    return near_dup_pairs_minhash(_read(spark, sf_dir, "documents"))
+
+
+def q_jaccard_verified(spark, sf_dir):
+    """LSH candidates verified by exact shingle-set Jaccard ≥ 0.3."""
+    from socialmapper_spark.operators.dedup import jaccard_verify, near_dup_pairs_minhash
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(docs)
+    return jaccard_verify(docs, pairs, threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document (Arrow-vectorized UDF)."""
+    from socialmapper_spark.operators.dedup import simhash_docs
+
+    return simhash_docs(_read(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for 5 query vectors (Catalyst fold)."""
+    from socialmapper_spark.fixtures import COSINE_K, COSINE_QUERY_IDS
+    from socialmapper_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(
+        spark, _read(spark, sf_dir, "embeddings"), COSINE_QUERY_IDS, COSINE_K
+    )
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate NN (multi-probe Hamming-1), exact rerank."""
+    from socialmapper_spark.fixtures import COSINE_K, COSINE_QUERY_IDS
+    from socialmapper_spark.operators.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(
+        spark, _read(spark, sf_dir, "embeddings"), COSINE_QUERY_IDS, COSINE_K
+    )
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
+
+
+def q_binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: typed metadata from an opaque binary column
+    via mapInPandas (decode stubbed deterministically)."""
+    from socialmapper_spark.operators.multimodal import binary_metadata
+
+    return binary_metadata(_read_geo(spark, sf_dir, "pages"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "geoparse": q_geoparse,
+        "pip_assignments": q_pip_assignments,
+        "knn_nearest": q_knn_nearest,
+        "knn_kring": q_knn_kring,
+        "flagship_demographics": q_flagship,
+        "census_cleanse": q_census_cleanse,
+        "census_pivot": q_census_pivot,
+        "geoid_components": q_geoid_components,
+        "state_bounds": q_state_bounds,
+        "dedup_units": q_dedup_units,
+        "demographic_summary": q_demographic_summary,
+        "coordinate_quarantine": q_coordinate_quarantine,
+        "pricing_summary": q_pricing_summary,
+        "market_join": q_market_join,
+        "top_customers": q_top_customers,
+        "deterministic_sample": q_deterministic_sample,
+        "semi_join": q_semi_join,
+        "union_all": q_union_all,
+        "doc_stats": q_doc_stats,
+        "language_id": q_language_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_verified": q_jaccard_verified,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "binary_metadata": q_binary_metadata,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles — DuckDB SQL twins (run at sf0.01; geo fixtures referenced by
+# absolute path, TPC-H tables by their pre-registered view names)
+# ---------------------------------------------------------------------------
+
+_CELL_SQL_R7 = (
+    "cast(7 as bigint)*288230376151711744 "
+    "+ (cast(floor((lon+180.0)/0.02197265625) as bigint) % 16384)*536870912 "
+    "+ least(greatest(cast(floor((lat+90.0)/0.02197265625) as bigint),0),8191)"
+)
+_CELL_SQL_R9 = (
+    "cast(9 as bigint)*288230376151711744 "
+    "+ (cast(floor((lon+180.0)/0.0054931640625) as bigint) % 65536)*536870912 "
+    "+ least(greatest(cast(floor((lat+90.0)/0.0054931640625) as bigint),0),32767)"
+)
+
+_CLEANSE_SQL = """
+    case
+      when value is null then null
+      when value in (-999999999.0,-888888888.0,-666666666.0,-555555555.0,
+                     -222222222.0,-111111111.0) then null
+      when (variable_code like 'B19%' or variable_code like 'B25%')
+           and value < 0 then null
+      when value < -100000 then null
+      else value
+    end
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    # make sure the sf0.01 fixtures + goldens exist before DuckDB reads them
+    from socialmapper_spark.fixtures import ensure_text_goldens
+
+    _geo("/root/testdata/sf0.01")
+    tg = str(ensure_text_goldens("/root/testdata/sf0.01"))
+    g = GEO_SF01
+    cleansed = f"""
+        select geoid, variable_code, {_CLEANSE_SQL} as value_clean
+        from read_parquet('{g}/census_long.parquet')
     """
-    return {}
+    wide = f"""
+        select geoid,
+               max(case when variable_code='B01003_001E' then value_clean end) as B01003_001E,
+               max(case when variable_code='B19013_001E' then value_clean end) as B19013_001E,
+               max(case when variable_code='B01002_001E' then value_clean end) as B01002_001E,
+               max(case when variable_code='B25044_003E' then value_clean end) as B25044_003E,
+               max(case when variable_code='B25044_010E' then value_clean end) as B25044_010E
+        from ({cleansed}) group by geoid
+    """
+    return {
+        "geoparse": f"""
+            select url, lat, lon,
+                   coalesce(array_to_string(mentions, '|'), '') as mentions_str,
+                   case when lat is null then null else {_CELL_SQL_R7} end as cell_r7,
+                   case when lat is null then null else {_CELL_SQL_R9} end as cell_r9
+            from read_parquet('{g}/golden_geoparsed.parquet')
+        """,
+        "pip_assignments": f"""
+            select url, poly_id, GEOID, kind
+            from read_parquet('{g}/golden_assignments.parquet')
+        """,
+        "knn_nearest": f"""
+            select url, poi_id, distance_km, distance_miles
+            from read_parquet('{g}/golden_knn.parquet')
+        """,
+        "knn_kring": f"""
+            select url, poi_id, distance_km, distance_miles
+            from read_parquet('{g}/golden_knn.parquet')
+        """,
+        "flagship_demographics": f"""
+            with iso as (
+                select a.url, a.poly_id as iso_id, 15 as travel_time_minutes
+                from read_parquet('{g}/golden_assignments.parquet') a
+                where a.kind = 'isochrone'
+            ), bg as (
+                select url, GEOID as bg_geoid
+                from read_parquet('{g}/golden_assignments.parquet')
+                where kind = 'blockgroup'
+            ), pairs as (
+                select iso.iso_id, iso.travel_time_minutes, iso.url, bg.bg_geoid
+                from iso join bg using (url)
+            ), iso_bgs as (
+                select distinct iso_id, travel_time_minutes, bg_geoid from pairs
+            ), page_counts as (
+                select iso_id, count(distinct url) as n_pages from pairs group by iso_id
+            ), wide as ({wide})
+            select b.iso_id, b.travel_time_minutes,
+                   p.n_pages,
+                   count(distinct b.bg_geoid) as n_block_groups,
+                   cast(sum(cast(w.B01003_001E as decimal(20,6))) as double) as total_population,
+                   cast(sum(cast(w.B19013_001E as decimal(20,6))) as double)
+                       / count(w.B19013_001E) as median_household_income
+            from iso_bgs b
+            left join wide w on b.bg_geoid = w.geoid
+            join page_counts p on b.iso_id = p.iso_id
+            group by b.iso_id, b.travel_time_minutes, p.n_pages
+        """,
+        "census_cleanse": cleansed,
+        "census_pivot": wide,
+        "geoid_components": f"""
+            select GEOID,
+                   substr(GEOID, 1, 2) as state_fips,
+                   substr(GEOID, 3, 3) as county_fips,
+                   substr(GEOID, 6, 6) as tract,
+                   substr(GEOID, 12, 1) as block_group
+            from read_parquet('{g}/polygons.parquet') where kind = 'blockgroup'
+        """,
+        "state_bounds": f"""
+            select url, lat, lon
+            from read_parquet('{g}/golden_geoparsed.parquet')
+            where lat between 33.7 and 36.6 and lon between -84.4 and -75.3
+        """,
+        "dedup_units": f"""
+            select a.GEOID,
+                   min(k.distance_miles) as distance_miles,
+                   arg_min(k.poi_id, k.url) as first_poi_id
+            from read_parquet('{g}/golden_assignments.parquet') a
+            join read_parquet('{g}/golden_knn.parquet') k using (url)
+            where a.kind = 'blockgroup'
+            group by a.GEOID
+        """,
+        "demographic_summary": f"""
+            select cast(sum(cast(B01003_001E as decimal(20,6))) as double) as B01003_001E,
+                   cast(sum(cast(B19013_001E as decimal(20,6))) as double)
+                       / count(B19013_001E) as B19013_001E,
+                   cast(sum(cast(B01002_001E as decimal(20,6))) as double) as B01002_001E,
+                   cast(sum(cast(B25044_003E as decimal(20,6))) as double) as B25044_003E,
+                   cast(sum(cast(B25044_010E as decimal(20,6))) as double) as B25044_010E
+            from ({wide})
+        """,
+        "coordinate_quarantine": f"""
+            select id, lat, lon from read_parquet('{g}/pois.parquet')
+            where not (lat is not null and lon is not null
+                       and lat between -90 and 90 and lon between -180 and 180)
+        """,
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(20,6))) as double) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(20,6))) as double) as sum_base_price,
+                   cast(sum(cast(l_quantity as decimal(20,6))) as double)
+                       / count(l_quantity) as avg_qty,
+                   cast(sum(cast(l_discount as decimal(20,6))) as double)
+                       / count(l_discount) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "market_join": """
+            select n_name, c_mktsegment, count(*) as n_orders,
+                   cast(sum(cast(o_totalprice as decimal(20,6))) as double) as revenue
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            group by n_name, c_mktsegment
+        """,
+        "top_customers": """
+            with rev as (
+                select c_mktsegment, c_custkey,
+                       cast(sum(cast(o_totalprice as decimal(20,6))) as double) as revenue
+                from orders join customer on o_custkey = c_custkey
+                group by c_mktsegment, c_custkey
+            )
+            select c_mktsegment, c_custkey, revenue, rank from (
+                select *, row_number() over (
+                    partition by c_mktsegment order by revenue desc, c_custkey asc
+                ) as rank
+                from rev
+            ) where rank <= 3
+        """,
+        "deterministic_sample": """
+            select o_orderkey, md5(cast(o_orderkey as varchar)) as sample_key
+            from orders
+            order by sample_key limit 100
+        """,
+        "semi_join": """
+            select o_orderkey, o_custkey from orders
+            where o_custkey in (select c_custkey from customer where c_acctbal > 9000.0)
+        """,
+        "union_all": """
+            select c_name as name, 'customer' as src from customer
+            union all
+            select s_name as name, 'supplier' as src from supplier
+        """,
+        "doc_stats": f"""
+            select doc_id,
+                   case when trim(text) = '' then 0
+                        else len(regexp_split_to_array(trim(text), '\\s+')) end as n_tokens,
+                   len(regexp_extract_all(text, '{TOKEN_RE_SQL}')) as n_bpe_tokens,
+                   case when length(text) > 0
+                        then cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+                             / length(text) else 0.0 end as alpha_ratio,
+                   case when (case when trim(text)='' then 0
+                              else len(regexp_split_to_array(trim(text),'\\s+')) end) > 0
+                        then cast(length(text) as double)
+                             / (case when trim(text)='' then 0
+                                else len(regexp_split_to_array(trim(text),'\\s+')) end)
+                        else 0.0 end as avg_word_len,
+                   least(1.0, greatest(0.0,
+                       (case when length(text) > 0
+                             then cast(length(regexp_replace(text,'[^A-Za-z]','','g')) as double)
+                                  / length(text) else 0.0 end) * 0.7
+                       + least((case when trim(text)='' then 0
+                                else len(regexp_split_to_array(trim(text),'\\s+')) end)
+                               / 100.0, 1.0) * 0.3
+                       - (case when length(text) > 0
+                               then cast(length(regexp_replace(text,'[^.,;:!?]','','g')) as double)
+                                    / length(text) else 0.0 end) * 0.5
+                   )) as quality_score
+            from documents
+        """,
+        "language_id": f"""
+            select doc_id,
+                   case
+                     when ({_marker_sql('EN')}) = 0 and ({_marker_sql('ES')}) = 0 then 'und'
+                     when ({_marker_sql('EN')}) >= ({_marker_sql('ES')}) then 'en'
+                     else 'es'
+                   end as lang_pred
+            from documents
+        """,
+        "exact_dedup": """
+            select md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fingerprint,
+                   min(doc_id) as keep_doc_id, count(*) as n_copies
+            from documents
+            group by 1
+        """,
+        "minhash_pairs": f"""
+            select doc_a, doc_b from read_parquet('{tg}/golden_minhash_pairs.parquet')
+        """,
+        "jaccard_verified": f"""
+            select doc_a, doc_b, jaccard
+            from read_parquet('{tg}/golden_jaccard.parquet')
+        """,
+        "simhash": f"""
+            select doc_id, simhash from read_parquet('{tg}/golden_simhash.parquet')
+        """,
+        "cosine_topk": f"""
+            select query_id, vec_id, cosine, rank
+            from read_parquet('{tg}/golden_cosine_topk.parquet')
+        """,
+        "lsh_ann": f"""
+            select query_id, vec_id, cosine, rank
+            from read_parquet('{tg}/golden_lsh_ann.parquet')
+        """,
+        "binary_metadata": f"""
+            select url,
+                   octet_length(html) as byte_len,
+                   md5(decode(html)) as content_md5,
+                   cast(64 + cast(('0x' || substr(md5(decode(html)),1,4)) as bigint) % 1920
+                        as int) as fake_width,
+                   cast(64 + cast(('0x' || substr(md5(decode(html)),5,4)) as bigint) % 1080
+                        as int) as fake_height
+            from read_parquet('{g}/pages.parquet')
+        """,
+    }
+
+
+# SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
+TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _marker_sql(which: str) -> str:
+    from socialmapper_spark.functions.text import EN_MARKERS, ES_MARKERS
+
+    markers = EN_MARKERS if which == "EN" else ES_MARKERS
+    parts = [
+        f"(case when contains(' ' || lower(text) || ' ', ' {m} ') then 1 else 0 end)"
+        for m in markers
+    ]
+    return " + ".join(parts)

@@ -1,0 +1,103 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "pages_per_sec_flagship", "value": N, "unit": "sec",
+   "queries": {name: seconds, ...}, "sf": ..., ...extras}
+
+Headline metric: pages/sec through the full flagship pipeline
+(geoparse → cell encode → two-phase PIP vs isochrones+block groups →
+census pivot-join → travel-time-band aggregation) on the skewed synthetic
+pages table (70% of rows in 3 hot cells — the salting/AQE path is
+exercised, not dodged).
+
+Scaling-efficiency evidence (BASELINE.json north_rule: ≥0.8 from N to
+4N): run with SPARK_GRAFT_CPUS=8 and =32 on the same input; see
+scripts/bench_scaling.py which does both and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def timed(fn, *args):
+    t0 = time.perf_counter()
+    n = fn(*args)
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from socialmapper_spark.fixtures import geo_dir_for
+    from socialmapper_spark.session import get_spark
+    from socialmapper_spark.pipeline import flagship_query, geoparse_pages, page_assignments
+    from socialmapper_spark.operators.knn import knn_join
+
+    geo = str(geo_dir_for(sf_dir))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(2 * cpus, 16))
+
+    pages = spark.read.parquet(f"{geo}/pages.parquet")
+    polygons = spark.read.parquet(f"{geo}/polygons.parquet")
+    census = spark.read.parquet(f"{geo}/census_long.parquet")
+    pois = spark.read.parquet(f"{geo}/pois.parquet").filter(F.col("lat") <= 90.0)
+    n_pages = pages.count()  # warms the scan / JVM
+
+    queries: dict[str, float] = {}
+
+    # flagship: full pipeline, count() forces execution end to end
+    t, _ = timed(lambda: flagship_query(spark, pages, polygons, census).collect())
+    queries["flagship"] = round(t, 3)
+    flagship_time = t
+
+    # geoparse+cells only (pure-Catalyst hot path)
+    t, _ = timed(lambda: geoparse_pages(pages).filter(F.col("lat").isNotNull()).count())
+    queries["geoparse"] = round(t, 3)
+    geoparse_rate = n_pages / t
+
+    # PIP assignment throughput
+    t, n_assign = timed(
+        lambda: page_assignments(spark, pages, polygons).count()
+    )
+    queries["pip_assignments"] = round(t, 3)
+    pip_rate = n_assign / t
+
+    # kNN (k-ring scale path)
+    t, _ = timed(
+        lambda: knn_join(
+            spark, geoparse_pages(pages), pois, k=1, strategy="kring"
+        ).count()
+    )
+    queries["knn_kring"] = round(t, 3)
+
+    # relational representative
+    t, _ = timed(lambda: entrymod.q_pricing_summary(spark, sf_dir).collect())
+    queries["pricing_summary"] = round(t, 3)
+
+    result = {
+        "metric": "pages_per_sec_flagship",
+        "value": round(n_pages / flagship_time, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "pip_assignments_per_sec": round(pip_rate, 1),
+        "geoparse_pages_per_sec": round(geoparse_rate, 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

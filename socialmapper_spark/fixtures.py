@@ -30,7 +30,7 @@ from socialmapper_spark.geo.pip import points_in_polygon
 from socialmapper_spark.geo.wkb import polygon_to_wkb, wkb_to_rings
 from socialmapper_spark.functions.scalar import KM_TO_MILES
 
-FIXTURE_VERSION = "v5"
+FIXTURE_VERSION = "v6"
 GEO_ROOT = pathlib.Path("/root/repo/data/geo")
 
 # bbox: synthetic NC-like grid (FIXTURES.md §2)
@@ -248,7 +248,9 @@ def generate(name: str) -> pathlib.Path:
             "lang": pa.array(lang.tolist(), pa.string()),
         }
     )
-    pq.write_table(pages, out / "pages.parquet", row_group_size=65536)
+    # small row groups: splittable input → full parallelism on local[32]
+    # (row groups are the minimum split granularity for parquet scans)
+    pq.write_table(pages, out / "pages.parquet", row_group_size=16384)
 
     # --- census_long --------------------------------------------------------
     geoids = [p[2] for p in polys if p[1] == "blockgroup"]
@@ -355,6 +357,200 @@ def _write_goldens(out, urls, texts, polys, pois):
         }
     )
     pq.write_table(knn, out / "golden_knn.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text/similarity goldens over the DRIVER's documents/embeddings tables —
+# independent pure-Python twins of the Spark operators (dedup.py,
+# similarity.py). Deterministic; used as oracles for non-SQL-expressible ops.
+# ---------------------------------------------------------------------------
+
+TEXT_ROOT = pathlib.Path("/root/repo/data/text")
+TEXT_GOLDEN_VERSION = "v2"
+COSINE_QUERY_IDS = [0, 1, 2, 3, 4]
+COSINE_K = 10
+
+
+def _minhash_py(text: str) -> tuple[list[int], list[str]]:
+    import hashlib
+
+    from socialmapper_spark.operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+        md5_hash60_py,
+    )
+
+    norm = " ".join(text.split()).lower().strip()
+    words = norm.split(" ")
+    if len(words) >= SHINGLE_K:
+        shingles = list(
+            dict.fromkeys(
+                " ".join(words[i : i + SHINGLE_K])
+                for i in range(len(words) - SHINGLE_K + 1)
+            )
+        )
+    else:
+        shingles = [norm]
+    sig = [min(md5_hash60_py(i, s) for s in shingles) for i in range(NUM_PERM)]
+    bands = [
+        hashlib.md5(
+            ",".join(str(v) for v in sig[j * ROWS_PER_BAND : (j + 1) * ROWS_PER_BAND]).encode()
+        ).hexdigest()
+        for j in range(BANDS)
+    ]
+    return sig, bands
+
+
+def _shingle_set_py(text: str) -> set[str]:
+    from socialmapper_spark.operators.dedup import SHINGLE_K
+
+    norm = " ".join(text.split()).lower().strip()
+    words = norm.split(" ")
+    if len(words) >= SHINGLE_K:
+        return {
+            " ".join(words[i : i + SHINGLE_K])
+            for i in range(len(words) - SHINGLE_K + 1)
+        }
+    return {norm}
+
+
+def ensure_text_goldens(sf_dir: str) -> pathlib.Path:
+    """Goldens for minhash pairs / jaccard / simhash / cosine / lsh-ann over
+    the driver's documents+embeddings tables at ``sf_dir``."""
+    import duckdb
+
+    from socialmapper_spark.operators.dedup import simhash64_py
+    from socialmapper_spark.operators.similarity import (
+        LSH_BITS,
+        _planes,
+        lsh_bucket_py,
+    )
+
+    name = pathlib.Path(sf_dir).name
+    out = TEXT_ROOT / name
+    marker = out / f".{TEXT_GOLDEN_VERSION}"
+    if marker.exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = duckdb.sql(
+        f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet') order by doc_id"
+    ).fetchall()
+
+    # minhash bands + candidate pairs + jaccard verify
+    buckets: dict[tuple[int, str], list[int]] = {}
+    shingle_sets: dict[int, set[str]] = {}
+    sim_rows = []
+    for doc_id, text in docs:
+        _, bands = _minhash_py(text)
+        for j, key in enumerate(bands):
+            buckets.setdefault((j, key), []).append(doc_id)
+        shingle_sets[doc_id] = _shingle_set_py(text)
+        sim_rows.append((doc_id, simhash64_py(text)))
+    pairs = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= 1000:
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+    pairs = sorted(pairs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        ),
+        out / "golden_minhash_pairs.parquet",
+    )
+    jac_rows = []
+    for a, b in pairs:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.3:
+            jac_rows.append((a, b, jac))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in jac_rows], pa.int64()),
+                "doc_b": pa.array([r[1] for r in jac_rows], pa.int64()),
+                "jaccard": pa.array([r[2] for r in jac_rows], pa.float64()),
+            }
+        ),
+        out / "golden_jaccard.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in sim_rows], pa.int64()),
+                "simhash": pa.array([r[1] for r in sim_rows], pa.int64()),
+            }
+        ),
+        out / "golden_simhash.parquet",
+    )
+
+    # cosine top-k (exact) and LSH-ANN top-k — sequential-fold float64,
+    # mirroring the Catalyst aggregate() expression order exactly
+    embs = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{sf_dir}/embeddings.parquet') order by vec_id"
+    ).fetchall()
+    vecs = {vid: [float(np.float32(x)) for x in v] for vid, v in embs}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return acc ** 0.5
+
+    dim = len(next(iter(vecs.values())))
+    planes = _planes(dim, LSH_BITS)
+    bucket_of = {vid: lsh_bucket_py(np.array(v), planes) for vid, v in vecs.items()}
+
+    exact_rows, ann_rows = [], []
+    for qid in COSINE_QUERY_IDS:
+        q = vecs[qid]
+        qn = float(np.sqrt(np.dot(np.array(q), np.array(q))))
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            cos = round(fold_dot(v, q) / (fold_norm(v) * qn), 9)
+            scored.append((vid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(scored[:COSINE_K], 1):
+            exact_rows.append((qid, vid, cos, rank))
+        qb = bucket_of[qid]
+        probe = {qb} | {qb ^ (1 << i) for i in range(LSH_BITS)}
+        cand = [(vid, cos) for (vid, cos) in scored if bucket_of[vid] in probe]
+        for rank, (vid, cos) in enumerate(cand[:COSINE_K], 1):
+            ann_rows.append((qid, vid, cos, rank))
+
+    for fname, rows in [
+        ("golden_cosine_topk.parquet", exact_rows),
+        ("golden_lsh_ann.parquet", ann_rows),
+    ]:
+        pq.write_table(
+            pa.table(
+                {
+                    "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "cosine": pa.array([r[2] for r in rows], pa.float64()),
+                    "rank": pa.array([r[3] for r in rows], pa.int32()),
+                }
+            ),
+            out / fname,
+        )
+    marker.touch()
+    return out
 
 
 if __name__ == "__main__":

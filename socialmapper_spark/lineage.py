@@ -1,0 +1,143 @@
+"""Per-partition lineage + checkpoint resume (SURVEY.md §4 O14, north_rule).
+
+Absent in the reference (single machine, SQLite caches —
+/root/reference/socialmapper/isochrone/cache.py is the closest analog);
+required here: every stage emits per-bucket lineage rows
+(stage, bucket, cell_min, cell_max, row_count, checksum, status) to a
+checkpoint table, and a restarted job anti-joins committed buckets so
+failed stages resume without recompute.
+
+Buckets are deterministic functions of the data (``pmod(xxhash64(key),
+n_buckets)`` or a cell prefix), NOT Spark partition ids — task placement
+may change between runs; bucket membership may not. Checksums are
+XOR-aggregated xxhash64 over the output row key columns: order- and
+partitioning-insensitive, overflow-free, so identical logical content
+yields identical checksums at any parallelism (the salt-invariance the
+pytest suite pins).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "stage string, bucket int, cell_min long, cell_max long, "
+    "row_count long, checksum long, status string, committed_at double"
+)
+
+
+def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+    """Deterministic bucket id from a key column (content-addressed)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def bucket_stats(
+    df: DataFrame, stage: str, checksum_cols: list[str], cell_col: str | None = None
+) -> DataFrame:
+    """Per-bucket lineage rows for a bucketed DataFrame."""
+    cell_min = F.min(cell_col) if cell_col else F.max(F.lit(None).cast("long"))
+    cell_max = F.max(cell_col) if cell_col else F.max(F.lit(None).cast("long"))
+    agg = df.groupBy("bucket").agg(
+        cell_min.alias("cell_min"),
+        cell_max.alias("cell_max"),
+        F.count("*").alias("row_count"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(checksum_cols) + "))"
+        ).alias("checksum"),
+    )
+    # literal columns added OUTSIDE the aggregate (literal aliases inside
+    # agg() trip a Catalyst binding bug under exceptAll in Spark 4.1)
+    return agg.select(
+        F.lit(stage).alias("stage"),
+        "bucket", "cell_min", "cell_max", "row_count", "checksum",
+        F.lit("committed").alias("status"),
+        F.lit(time.time()).alias("committed_at"),
+    )
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str, stage: str) -> DataFrame:
+    """Buckets already committed for this stage (empty frame if no table)."""
+    if os.path.exists(lineage_path):
+        lin = spark.read.parquet(lineage_path)
+        return (
+            lin.filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+            .select("bucket")
+            .distinct()
+        )
+    return spark.createDataFrame([], "bucket int")
+
+
+def run_stage_with_lineage(
+    spark: SparkSession,
+    df: DataFrame,
+    stage: str,
+    key_col: str,
+    checksum_cols: list[str],
+    out_path: str,
+    lineage_path: str,
+    n_buckets: int = 32,
+    cell_col: str | None = None,
+) -> int:
+    """Execute a stage resumably.
+
+    1. bucket the output by ``key_col``
+    2. anti-join buckets already committed in the lineage table
+    3. write the remaining buckets (parquet, partitioned by bucket —
+       a crashed write leaves partial bucket dirs that are simply
+       overwritten on retry because commit happens per bucket AFTER
+       the data lands)
+    4. append per-bucket lineage rows
+
+    Returns the number of buckets processed this run (0 = fully resumed).
+    """
+    bucketed = with_bucket(df, key_col, n_buckets)
+    done = completed_buckets(spark, lineage_path, stage)
+    todo = bucketed.join(done, "bucket", "left_anti")
+
+    # short-circuit: nothing to do
+    pending = todo.select("bucket").distinct().collect()
+    if not pending:
+        return 0
+
+    pending_ids = sorted(r["bucket"] for r in pending)
+    (
+        todo.write.mode("overwrite")
+        .partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_path)
+    )
+
+    # recompute stats from the data as written (what landed is what is
+    # certified, not what we intended to write)
+    written = spark.read.parquet(out_path).filter(F.col("bucket").isin(pending_ids))
+    stats = bucket_stats(written, stage, checksum_cols, cell_col)
+    stats.write.mode("append").parquet(lineage_path)
+    return len(pending_ids)
+
+
+def verify_lineage(
+    spark: SparkSession, out_path: str, lineage_path: str, stage: str,
+    checksum_cols: list[str], cell_col: str | None = None,
+) -> bool:
+    """Recompute checksums from the output table and compare to lineage."""
+    data = spark.read.parquet(out_path)
+    fresh = bucket_stats(data, stage, checksum_cols, cell_col).select(
+        "bucket", "row_count", "checksum"
+    )
+    recorded = (
+        spark.read.parquet(lineage_path)
+        .filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+        .select("bucket", "row_count", "checksum")
+        .dropDuplicates(["bucket"])
+    )
+    # lineage tables are tiny (one row per bucket); compare driver-side —
+    # also sidesteps a Spark 4.1 exceptAll-over-aggregate binding bug
+    fa = {(r["bucket"], r["row_count"], r["checksum"]) for r in fresh.collect()}
+    fb = {(r["bucket"], r["row_count"], r["checksum"]) for r in recorded.collect()}
+    return fa == fb

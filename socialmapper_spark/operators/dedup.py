@@ -1,0 +1,200 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's operator set (build mandate): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification over a
+``documents(doc_id, text, ...)`` table.
+
+Design notes for the 100 TB case:
+
+- Shingling, MinHash signatures, and band keys are pure Catalyst column
+  expressions (split / transform / array_min / md5) — no Python on the
+  big side, fully whole-stage-codegen.
+- Candidate generation is the standard LSH band trick: explode band
+  keys, self-join on (band_idx, band_key). The self-join shuffles only
+  (doc_id, band_key) pairs — tiny vs the corpus — and hot buckets (boiler-
+  plate text) are bounded by ``max_bucket`` to keep the join skew-safe,
+  the same guard production LSH pipelines use.
+- Hashes are md5-derived 60-bit ints so the DuckDB/Python oracles can
+  reproduce them exactly (the container lacks xxhash/mmh3 for Python,
+  and DuckDB lacks xxhash64 — md5 is the shared primitive).
+
+MinHash spec (pinned; oracle twin in fixtures.ensure_text_goldens):
+  norm(text)   = lower(trim(regexp_replace(text, '\\s+', ' ')))
+  words        = split(norm, ' ')
+  shingles     = distinct 3-word shingles joined by ' ';
+                 if fewer than 3 words: [norm]
+  h_i(s)       = int(md5(f"{i}:{s}")[:15], 16)     for i in 0..NUM_PERM-1
+  sig_i        = min over shingles of h_i
+  band_key_j   = md5(sig_{4j} || ',' || ... || sig_{4j+3})  j in 0..3
+  near-dup     = pairs sharing ≥1 band key (doc_a < doc_b)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_K = 3
+
+
+def normalize_text(c) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+
+
+def shingles_col(c) -> F.Column:
+    """Distinct 3-word shingles of normalized text (pure Catalyst)."""
+    norm = normalize_text(c)
+    words = F.split(norm, " ")
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
+        lambda i: F.concat_ws(
+            " ", words[i], words[i + 1], words[i + 2]
+        ),
+    )
+    return F.when(F.size(words) >= SHINGLE_K, F.array_distinct(make)).otherwise(
+        F.array(norm)
+    )
+
+
+def _md5_hash60(prefix: int, s: F.Column) -> F.Column:
+    """int(md5(f'{prefix}:{s}')[:15], 16) as a column expression."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{prefix}:"), s).cast("binary")), 1, 15)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def md5_hash60_py(prefix: int, s: str) -> int:
+    return int(hashlib.md5(f"{prefix}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_perm: int = NUM_PERM) -> DataFrame:
+    """Adds ``sig`` array<long> of minhash values (Catalyst only)."""
+    sh = shingles_col(F.col(text_col))
+    df = df.withColumn("__shingles", sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__shingles"), lambda s, i=i: _md5_hash60(i, s))
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return df.withColumn("sig", sig).drop("__shingles")
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_idx, band_key) — one row per band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[j * ROWS_PER_BAND + r].cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    ).cast("binary")
+                ).alias("band_key"),
+            )
+            for j in range(BANDS)
+        ]
+    )
+    return df.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing ≥1 band.
+
+    ``max_bucket`` drops degenerate buckets (identical boilerplate shared
+    by thousands of docs) whose quadratic pair blow-up would dominate the
+    join at corpus scale; production near-dup pipelines apply the same
+    guard. Dropped buckets are countable via ``minhash_bands`` stats.
+    """
+    sig = minhash_signature(docs.select(id_col, text_col), text_col)
+    bands = minhash_bands(sig, id_col)
+    sized = bands.groupBy("band_idx", "band_key").agg(
+        F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
+    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    a = sized.select(F.explode("ids").alias("doc_a"), "band_idx", "band_key", "ids")
+    pairs = a.select(
+        "doc_a", F.explode("ids").alias("doc_b")
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    return pairs.distinct()
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (the verify step after
+    LSH candidate generation). Pure Catalyst: array_intersect/array_union."""
+    sh = docs.select(
+        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return joined.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — vectorized pandas UDF (per-word hashing needs Python;
+# Arrow-batched, no per-row Python at the Spark level)
+# ---------------------------------------------------------------------------
+
+def simhash64_py(text: str | None) -> int:
+    """Signed 64-bit simhash of word unigrams (md5-derived word hashes)."""
+    if text is None:
+        return 0
+    norm = " ".join(text.split()).lower().strip()
+    if not norm:
+        return 0
+    counts = np.zeros(64, dtype=np.int64)
+    for w in norm.split(" "):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    bits = 0
+    for b in range(64):
+        if counts[b] > 0:
+            bits |= 1 << b
+    # wrap to signed int64 (Spark long)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def simhash_udf():
+    @pandas_udf("long")
+    def simhash(text: pd.Series) -> pd.Series:
+        return text.map(simhash64_py).astype("int64")
+
+    return simhash
+
+
+def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    return docs.select(id_col, simhash_udf()(F.col(text_col)).alias("simhash"))

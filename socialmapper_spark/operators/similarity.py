@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (build mandate: ANN).
+
+Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+- :func:`cosine_topk` — exact brute-force top-k per query vector. Query
+  vectors are collected driver-side (queries are few), shipped as plan
+  literals, and similarity is a pure Catalyst fold
+  (``aggregate(zip_with(...))``) — JVM-side, codegen, no UDF. The scan
+  side is never shuffled; top-k is a map-side-combinable min(struct) per
+  query. This is the parity baseline.
+- :func:`lsh_buckets` / :func:`lsh_ann_topk` — the scale path: seeded
+  random-hyperplane LSH (sign bits → bucket id) computed by a vectorized
+  Arrow UDF; candidates are vectors in the same bucket as the query
+  (multi-probe: plus all buckets at Hamming distance 1), then exact
+  rerank. Deterministic (fixed seed), so the pytest suite checks recall
+  against the exact path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+LSH_BITS = 12
+LSH_SEED = 42
+
+
+def _dot_expr(vec_col: F.Column, q: list[float]) -> F.Column:
+    """Catalyst dot product of a column vector with a literal query."""
+    lit_q = F.array(*[F.lit(float(v)) for v in q])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(vec_col: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, vec_id, cosine, rank).
+
+    Self-matches are excluded. cosine is rounded to 9 dp to absorb
+    accumulation-order differences vs oracles (well above double noise,
+    well below any real similarity gap).
+    """
+    qrows = {
+        r[id_col]: list(r[vec_col])
+        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    per_query = []
+    for qid in query_ids:
+        q = qrows[qid]
+        qn = float(np.sqrt(np.dot(np.array(q, dtype=np.float64), np.array(q, dtype=np.float64))))
+        cos = _dot_expr(F.col(vec_col), q) / (_norm_expr(F.col(vec_col)) * F.lit(qn))
+        scored = embeddings.filter(F.col(id_col) != qid).select(
+            F.lit(qid).alias("query_id"),
+            F.col(id_col).alias("vec_id_m"),
+            F.round(cos, 9).alias("cosine"),
+        )
+        per_query.append(scored)
+    allq = per_query[0]
+    for s in per_query[1:]:
+        allq = allq.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id_m").asc()
+    )
+    return (
+        allq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id_m").alias("vec_id"), "cosine", "rank")
+    )
+
+
+def _planes(dim: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_py(vec: np.ndarray, planes: np.ndarray) -> int:
+    signs = planes @ np.asarray(vec, dtype=np.float64) > 0.0
+    out = 0
+    for i, s in enumerate(signs):
+        if s:
+            out |= 1 << i
+    return out
+
+
+def lsh_buckets(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Adds ``bucket`` int column via seeded hyperplane LSH (Arrow UDF)."""
+    planes = _planes(dim, bits)
+    bc = spark.sparkContext.broadcast(planes)
+
+    @pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim) float32
+        signs = mat.astype(np.float64) @ bc.value.T > 0.0  # (batch, bits)
+        weights = (1 << np.arange(signs.shape[1])).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return embeddings.withColumn("bucket", bucket(F.col(vec_col)))
+
+
+def lsh_ann_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Approximate top-k: exact rerank within the query's LSH bucket and
+    all buckets at Hamming distance 1 (multi-probe). Output schema matches
+    :func:`cosine_topk`; rows may differ (approximation) — recall vs the
+    exact path is what tests pin."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, bits)
+    bucketed = lsh_buckets(spark, embeddings, dim, id_col, vec_col, bits)
+
+    qrows = {
+        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
+        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    per_query = []
+    for qid in query_ids:
+        q = qrows[qid]
+        qb = lsh_bucket_py(q, planes)
+        probe = [qb] + [qb ^ (1 << i) for i in range(bits)]
+        qn = float(np.sqrt(q @ q))
+        cos = _dot_expr(F.col(vec_col), [float(x) for x in q]) / (
+            _norm_expr(F.col(vec_col)) * F.lit(qn)
+        )
+        scored = (
+            bucketed.filter(F.col("bucket").isin(probe))
+            .filter(F.col(id_col) != qid)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("vec_id_m"),
+                F.round(cos, 9).alias("cosine"),
+            )
+        )
+        per_query.append(scored)
+    allq = per_query[0]
+    for s in per_query[1:]:
+        allq = allq.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id_m").asc()
+    )
+    return (
+        allq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id_m").alias("vec_id"), "cosine", "rank")
+    )

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # sandbox inputs are small files; lower split size so scans use all
+        # cores (a cluster-scale table has ample row groups either way)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

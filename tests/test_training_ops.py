@@ -1,0 +1,95 @@
+"""Training-data pipeline operators: dedup, similarity, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from socialmapper_spark.operators.dedup import (
+    jaccard_verify,
+    near_dup_pairs_minhash,
+    simhash64_py,
+    simhash_docs,
+)
+from socialmapper_spark.operators.multimodal import binary_metadata, decode_image
+from socialmapper_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different text about census demographics and urban tiles"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_and_exact_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs_minhash(docs).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup collides on ≥1 band
+    assert not any(2 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_verify_scores(spark, docs):
+    pairs = near_dup_pairs_minhash(docs)
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify(docs, pairs, threshold=0.0).collect()
+    }
+    assert verified[(0, 3)] == 1.0
+    if (0, 1) in verified:
+        assert 0.5 < verified[(0, 1)] < 1.0
+
+
+def test_simhash_similarity_structure(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    assert sh[0] == sh[3]  # exact dups → identical simhash
+    ham_near = bin((sh[0] ^ sh[1]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    assert simhash64_py(None) == 0
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # most similar to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(spark, df, [0], k=3).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert out[0]["cosine"] <= 1.0
+
+
+def test_lsh_ann_subset_of_exact_schema(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = lsh_ann_topk(spark, df, [0, 1], k=5)
+    got = ann.collect()
+    assert set(ann.columns) == {"query_id", "vec_id", "cosine", "rank"}
+    # approximate: every returned neighbor must at least be a real row
+    assert all(0 <= r["vec_id"] < 60 and r["vec_id"] != r["query_id"] for r in got)
+
+
+def test_binary_metadata_plumbing(spark, geo_small):
+    pages = spark.read.parquet(f"{geo_small}/pages.parquet").limit(50)
+    out = binary_metadata(pages).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["byte_len"] > 20
+        assert len(r["content_md5"]) == 32
+        assert 64 <= r["fake_width"] < 64 + 1920
+        assert 64 <= r["fake_height"] < 64 + 1080
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
