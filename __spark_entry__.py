@@ -203,6 +203,145 @@ def q_coordinate_quarantine(spark, sf_dir):
     return bad.select("id", "lat", "lon")
 
 
+def q_knn_topk(spark, sf_dir):
+    """T4: general k nearest (k=3) via window top-k over broadcast candidates."""
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    out = knn_join(spark, geop, pois, k=3, strategy="broadcast")
+    return out.select("url", "poi_id", "distance_km", "distance_miles", "knn_rank")
+
+
+def q_isochrone_area(spark, sf_dir):
+    """A3: equal-area km² per travel-time band (shoelace in EPSG:5070)."""
+    from socialmapper_spark.operators.stats import isochrone_area
+
+    return isochrone_area(_read_geo(spark, sf_dir, "polygons"))
+
+
+def q_cluster_metrics(spark, sf_dir):
+    """A4: cluster-size metrics with the H3 cell as the cluster key."""
+    from socialmapper_spark.operators.stats import cluster_metrics
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    return cluster_metrics(geoparse_pages(_read_geo(spark, sf_dir, "pages")))
+
+
+def q_null_rate(spark, sf_dir):
+    """A5: per-variable valid/null counts after sentinel cleansing."""
+    from socialmapper_spark.operators.stats import null_rate_stats
+
+    return null_rate_stats(_read_geo(spark, sf_dir, "census_long"))
+
+
+def q_geoid_prefix(spark, sf_dir):
+    """A6: GEOID state/state+county prefix grouping (the batching/salt key)."""
+    from socialmapper_spark.operators.stats import geoid_prefix_groups
+
+    polys = _read_geo(spark, sf_dir, "polygons").filter(F.col("kind") == "blockgroup")
+    return geoid_prefix_groups(polys)
+
+
+def q_quantile_bins(spark, sf_dir):
+    """F16: quantile classification binning (ntile) over median income."""
+    from socialmapper_spark.operators.census import pivot_census
+    from socialmapper_spark.operators.stats import quantile_bins
+
+    wide = pivot_census(_read_geo(spark, sf_dir, "census_long"))
+    return quantile_bins(wide, "B19013_001E", k=5)
+
+
+def q_custom_coords(spark, sf_dir):
+    """S3: schema-tolerant custom coordinates reader (lat/latitude/y etc.)."""
+    from socialmapper_spark.fixtures import ensure_geo_extras
+    from socialmapper_spark.sources import read_custom_coordinates
+
+    geo = str(ensure_geo_extras(sf_dir))
+    out = read_custom_coordinates(spark, f"{geo}/custom_coords.csv")
+    tags_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("tags")),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+    return out.select("id", "name", "type", "lat", "lon", tags_str.alias("tags_str"))
+
+
+def q_state_normalize(spark, sf_dir):
+    """P6: state name/abbr/FIPS normalization via broadcast dim join."""
+    from socialmapper_spark.functions.states import normalize_state
+
+    pois = _read_geo(spark, sf_dir, "pois")
+    # exercise all three alias formats deterministically per row
+    aliased = pois.select(
+        "id",
+        F.when(F.length("id") % 3 == 0, F.lit("NC"))
+        .when(F.length("id") % 3 == 1, F.lit("37"))
+        .otherwise(F.lit("north carolina"))
+        .alias("state"),
+    )
+    out = normalize_state(spark, aliased, "state")
+    return out.select("id", "state", "state_name", "state_abbr", "state_fips")
+
+
+def q_counties_from_pages(spark, sf_dir):
+    """J7: distinct (state, county) containing any geoparsed page."""
+    from socialmapper_spark.functions.scalar import geoid_split
+    from socialmapper_spark.pipeline import page_assignments
+
+    assigns = page_assignments(
+        spark, _read_geo(spark, sf_dir, "pages"), _read_geo(spark, sf_dir, "polygons")
+    ).filter(F.col("kind") == "blockgroup")
+    parts = geoid_split(F.col("GEOID"))
+    return (
+        assigns.select(
+            parts["state_fips"].alias("state_fips"),
+            parts["county_fips"].alias("county_fips"),
+        )
+        .distinct()
+        .orderBy("state_fips", "county_fips")
+    )
+
+
+def q_poi_broadcast(spark, sf_dir):
+    """J5: first-POI metadata broadcast onto every block-group unit."""
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    first_poi = pois.orderBy("id").limit(1).select(
+        F.col("id").alias("poi_id"), F.col("name").alias("poi_name")
+    )
+    units = _read_geo(spark, sf_dir, "polygons").filter(
+        F.col("kind") == "blockgroup"
+    ).select("GEOID")
+    return units.crossJoin(F.broadcast(first_poi))
+
+
+# --- event-time operators over the driver's events table ---------------------
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling 1-hour rollup per event type (batch plan)."""
+    from socialmapper_spark.operators.events import window_rollup
+
+    return window_rollup(_read(spark, sf_dir, "events"))
+
+
+def q_event_windows_stream(spark, sf_dir):
+    """Structured Streaming twin of event_windows (watermark + window,
+    availableNow drain) — must produce identical rows to the batch plan."""
+    from socialmapper_spark.operators.events import window_rollup_stream
+
+    return window_rollup_stream(spark, sf_dir, "events.parquet")
+
+
+def q_event_sessions(spark, sf_dir):
+    """Per-user sessionization (30-min gap) via lag + running-sum windows."""
+    from socialmapper_spark.operators.events import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
 # --- relational parity over the driver's TPC-H-ish tables -------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -376,6 +515,13 @@ def q_lsh_ann(spark, sf_dir):
     return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def q_embedding_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: 6-bit LSH buckets + exact cosine."""
+    from socialmapper_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(spark, _read(spark, sf_dir, "embeddings"))
+
+
 def q_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: typed metadata from an opaque binary column
     via mapInPandas (decode stubbed deterministically)."""
@@ -412,7 +558,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "embedding_dup": q_embedding_dup,
         "binary_metadata": q_binary_metadata,
+        "knn_topk": q_knn_topk,
+        "isochrone_area": q_isochrone_area,
+        "cluster_metrics": q_cluster_metrics,
+        "null_rate": q_null_rate,
+        "geoid_prefix": q_geoid_prefix,
+        "quantile_bins": q_quantile_bins,
+        "custom_coords": q_custom_coords,
+        "state_normalize": q_state_normalize,
+        "counties_from_pages": q_counties_from_pages,
+        "poi_broadcast": q_poi_broadcast,
+        "event_windows": q_event_windows,
+        "event_windows_stream": q_event_windows_stream,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -447,9 +607,10 @@ _CLEANSE_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     # make sure the sf0.01 fixtures + goldens exist before DuckDB reads them
-    from socialmapper_spark.fixtures import ensure_text_goldens
+    from socialmapper_spark.fixtures import ensure_geo_extras, ensure_text_goldens
 
     _geo("/root/testdata/sf0.01")
+    ensure_geo_extras("/root/testdata/sf0.01")
     tg = str(ensure_text_goldens("/root/testdata/sf0.01"))
     g = GEO_SF01
     cleansed = f"""
@@ -670,7 +831,117 @@ def oracle_sql() -> dict[str, str]:
                         as int) as fake_height
             from read_parquet('{g}/pages.parquet')
         """,
+        "embedding_dup": f"""
+            select vec_a, vec_b, cosine
+            from read_parquet('{tg}/golden_embedding_dup.parquet')
+        """,
+        "knn_topk": f"""
+            select url, poi_id, distance_km, distance_miles, knn_rank
+            from read_parquet('{g}/golden_knn3.parquet')
+        """,
+        "isochrone_area": f"""
+            select travel_time_minutes, travel_mode, n_isochrones, total_area_km2
+            from read_parquet('{g}/golden_area.parquet')
+        """,
+        "cluster_metrics": f"""
+            with sizes as (
+                select {_CELL_SQL_R7} as cell, count(*) as cluster_size
+                from read_parquet('{g}/golden_geoparsed.parquet')
+                where lat is not null group by 1
+            )
+            select count(*) as n_clusters,
+                   cast(sum(cast(cluster_size as decimal(20,6))) as double) as total_points,
+                   cast(sum(cast(cluster_size as decimal(20,6))) as double)
+                       / count(cluster_size) as mean_cluster_size,
+                   max(cluster_size) as max_cluster_size,
+                   min(cluster_size) as min_cluster_size
+            from sizes
+        """,
+        "null_rate": f"""
+            select variable_code, count(*) as n_total, count(value_clean) as n_valid,
+                   count(*) - count(value_clean) as n_null,
+                   cast(count(*) - count(value_clean) as double) / count(*) as null_rate
+            from ({cleansed}) group by variable_code
+        """,
+        "geoid_prefix": f"""
+            select substr(GEOID, 1, 2) as state_fips, substr(GEOID, 1, 5) as state_county,
+                   count(*) as n_units, count(distinct GEOID) as n_distinct_geoids
+            from read_parquet('{g}/polygons.parquet') where kind = 'blockgroup'
+            group by 1, 2
+        """,
+        "quantile_bins": f"""
+            select geoid, B19013_001E as value,
+                   ntile(5) over (order by B19013_001E asc, geoid asc) as bin
+            from ({wide}) where B19013_001E is not null
+        """,
+        "custom_coords": f"""
+            select id, coalesce(name, 'Custom POI ' || id) as name,
+                   'custom' as type,
+                   cast(latitude as double) as lat, cast(lng as double) as lon,
+                   'city=' || city || '|rank=' || cast("rank" as varchar) as tags_str
+            from read_csv('{g}/custom_coords.csv', header = true)
+            where latitude is not null and lng is not null
+        """,
+        "state_normalize": f"""
+            select id,
+                   case when length(id) % 3 = 0 then 'NC'
+                        when length(id) % 3 = 1 then '37'
+                        else 'north carolina' end as state,
+                   'North Carolina' as state_name, 'NC' as state_abbr,
+                   '37' as state_fips
+            from read_parquet('{g}/pois.parquet')
+        """,
+        "counties_from_pages": f"""
+            select distinct substr(GEOID, 1, 2) as state_fips,
+                   substr(GEOID, 3, 3) as county_fips
+            from read_parquet('{g}/golden_assignments.parquet')
+            where kind = 'blockgroup'
+        """,
+        "poi_broadcast": f"""
+            select GEOID, p.poi_id, p.poi_name
+            from read_parquet('{g}/polygons.parquet'),
+                 (select id as poi_id, name as poi_name
+                  from read_parquet('{g}/pois.parquet')
+                  where lat <= 90.0 order by id limit 1) p
+            where kind = 'blockgroup'
+        """,
+        "event_windows": _EVENT_WINDOWS_SQL,
+        "event_windows_stream": _EVENT_WINDOWS_SQL,
+        "event_sessions": """
+            with e as (
+                select user_id, event_id, ts, value, epoch_us(ts) as us from events
+            ), f as (
+                select *,
+                       case when lag(us) over w is null then 1
+                            when us - lag(us) over w > 1800000000 then 1
+                            else 0 end as new_s
+                from e
+                window w as (partition by user_id order by ts, event_id)
+            ), g as (
+                select *,
+                       sum(new_s) over (
+                           partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row
+                       ) as session_seq
+                from f
+            )
+            select user_id, session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') as session_end,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(20,6))) as double) as total_value
+            from g group by user_id, session_seq
+        """,
     }
+
+
+_EVENT_WINDOWS_SQL = """
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+           event_type, count(*) as n_events,
+           cast(sum(cast(value as decimal(20,6))) as double) as total_value,
+           count(distinct user_id) as n_users
+    from events group by 1, 2
+"""
 
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)

@@ -366,7 +366,7 @@ def _write_goldens(out, urls, texts, polys, pois):
 # ---------------------------------------------------------------------------
 
 TEXT_ROOT = pathlib.Path("/root/repo/data/text")
-TEXT_GOLDEN_VERSION = "v2"
+TEXT_GOLDEN_VERSION = "v3"
 COSINE_QUERY_IDS = [0, 1, 2, 3, 4]
 COSINE_K = 10
 
@@ -549,6 +549,158 @@ def ensure_text_goldens(sf_dir: str) -> pathlib.Path:
             ),
             out / fname,
         )
+    # embedding-cosine near-dup pairs: same-bucket (6-bit LSH) pairs with
+    # fold-exact cosine ≥ threshold — twin of
+    # operators.similarity.embedding_near_dup_pairs
+    from socialmapper_spark.operators.similarity import (
+        NEAR_DUP_BITS,
+        NEAR_DUP_THRESHOLD,
+    )
+
+    planes6 = _planes(dim, NEAR_DUP_BITS)
+    bucket6 = {vid: lsh_bucket_py(np.array(v), planes6) for vid, v in vecs.items()}
+    by_bucket: dict[int, list[int]] = {}
+    for vid in sorted(vecs):
+        by_bucket.setdefault(bucket6[vid], []).append(vid)
+    dup_rows = []
+    for ids in by_bucket.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = vecs[ids[i]], vecs[ids[j]]
+                cos = _round_half_up(
+                    fold_dot(a, b) / (fold_norm(a) * fold_norm(b)), 9
+                )
+                if cos >= NEAR_DUP_THRESHOLD:
+                    dup_rows.append((ids[i], ids[j], cos))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_a": pa.array([r[0] for r in dup_rows], pa.int64()),
+                "vec_b": pa.array([r[1] for r in dup_rows], pa.int64()),
+                "cosine": pa.array([r[2] for r in dup_rows], pa.float64()),
+            }
+        ),
+        out / "golden_embedding_dup.parquet",
+    )
+    marker.touch()
+    return out
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """Twin of Spark's F.round on double: shortest-repr decimal, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
+
+
+GEO_EXTRA_VERSION = "x1"
+
+
+def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
+    """Extra goldens + fixture inputs for the extended operator set:
+    golden_knn3 (brute-force top-3 per page), golden_area (pure-Python
+    shoelace twin of A3), custom_coords.csv (S3 tolerant-reader input).
+    Cached behind a version marker like the main fixtures."""
+    out = geo_dir_for(sf_dir)
+    marker = out / f".extras_{GEO_EXTRA_VERSION}"
+    if marker.exists():
+        return out
+    import duckdb
+
+    # --- golden_knn3: top-3 nearest POIs, tie-break (distance, poi_id) ----
+    geop = duckdb.sql(
+        f"select url, lat, lon from read_parquet('{out}/golden_geoparsed.parquet') "
+        "where lat is not null order by url"
+    ).fetchall()
+    pois = duckdb.sql(
+        f"select id, lat, lon from read_parquet('{out}/pois.parquet') "
+        "where lat <= 90.0 order by id"
+    ).fetchall()
+    urls3 = [r[0] for r in geop]
+    glat = np.array([r[1] for r in geop])
+    glon = np.array([r[2] for r in geop])
+    poi_ids = [r[0] for r in pois]
+    pla = np.array([r[1] for r in pois])
+    plo = np.array([r[2] for r in pois])
+    gx, gy = albers5070_forward(glat, glon)
+    px, py = albers5070_forward(pla, plo)
+    d_km = np.sqrt((gx[:, None] - px[None, :]) ** 2 + (gy[:, None] - py[None, :]) ** 2) / 1000.0
+    k3 = min(3, len(poi_ids))
+    rows = {"url": [], "poi_id": [], "distance_km": [], "distance_miles": [], "knn_rank": []}
+    for i in range(len(urls3)):
+        order = sorted(range(len(poi_ids)), key=lambda j: (d_km[i, j], poi_ids[j]))[:k3]
+        for rank, j in enumerate(order, 1):
+            rows["url"].append(urls3[i])
+            rows["poi_id"].append(poi_ids[j])
+            rows["distance_km"].append(float(d_km[i, j]))
+            rows["distance_miles"].append(float(d_km[i, j]) * KM_TO_MILES)
+            rows["knn_rank"].append(rank)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "poi_id": pa.array(rows["poi_id"], pa.string()),
+                "distance_km": pa.array(rows["distance_km"], pa.float64()),
+                "distance_miles": pa.array(rows["distance_miles"], pa.float64()),
+                "knn_rank": pa.array(rows["knn_rank"], pa.int32()),
+            }
+        ),
+        out / "golden_knn3.parquet",
+    )
+
+    # --- golden_area: plain-Python shoelace over isochrone WKB ------------
+    polys = duckdb.sql(
+        f"select travel_time_minutes, travel_mode, geometry_wkb "
+        f"from read_parquet('{out}/polygons.parquet') where kind = 'isochrone' "
+        "order by poly_id"
+    ).fetchall()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    groups: dict[tuple, list[Decimal]] = defaultdict(list)
+    for tt, tm, wkb in polys:
+        total = 0.0
+        for rings in wkb_to_rings(bytes(wkb)):
+            for ri, ring in enumerate(rings):
+                xs, ys = albers5070_forward(ring[:, 1], ring[:, 0])
+                xs, ys = list(xs), list(ys)
+                if not (xs[0] == xs[-1] and ys[0] == ys[-1]):
+                    xs.append(xs[0])
+                    ys.append(ys[0])
+                acc = 0.0
+                for v in range(len(xs) - 1):
+                    acc += xs[v] * ys[v + 1] - xs[v + 1] * ys[v]
+                area = abs(acc) * 0.5
+                total += area if ri == 0 else -area
+        groups[(tt, tm)].append(
+            Decimal(repr(_round_half_up(total / 1e6, 6)))
+        )
+    area_rows = [
+        (tt, tm, len(vals), float(sum(vals))) for (tt, tm), vals in sorted(groups.items())
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "travel_time_minutes": pa.array([r[0] for r in area_rows], pa.int32()),
+                "travel_mode": pa.array([r[1] for r in area_rows], pa.string()),
+                "n_isochrones": pa.array([r[2] for r in area_rows], pa.int64()),
+                "total_area_km2": pa.array([r[3] for r in area_rows], pa.float64()),
+            }
+        ),
+        out / "golden_area.parquet",
+    )
+
+    # --- custom_coords.csv: S3 tolerant-reader fixture --------------------
+    lines = ["id,name,latitude,lng,city,rank"]
+    rng = np.random.default_rng(4242)
+    for i in range(10):
+        la = round(float(rng.uniform(LAT0, LAT1)), 6)
+        lo = round(float(rng.uniform(LON0, LON1)), 6)
+        nm = f"Site {i}" if i % 3 else ""  # every 3rd row: name defaulted
+        lines.append(f"p{i:02d},{nm},{la},{lo},Raleigh,{i}")
+    lines.append("p10,No Coords,,,Durham,10")  # dropped by P2 predicate
+    (out / "custom_coords.csv").write_text("\n".join(lines) + "\n")
+
     marker.touch()
     return out
 

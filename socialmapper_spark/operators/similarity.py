@@ -126,6 +126,57 @@ def lsh_buckets(
     return embeddings.withColumn("bucket", bucket(F.col(vec_col)))
 
 
+NEAR_DUP_BITS = 6
+NEAR_DUP_THRESHOLD = 0.35
+
+
+def _pair_dot_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Catalyst dot product of two array columns (sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    bits: int = NEAR_DUP_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (build mandate: embedding
+    near-dup dedup): LSH-bucket the corpus with ``bits`` hyperplanes, pair
+    vectors within each bucket, keep pairs with exact cosine ≥ threshold.
+
+    Scale shape: the self-join shuffles BOTH sides on the bucket id only —
+    a 2^bits-ary partition of the corpus — then the cosine is a pure
+    Catalyst fold on the joined rows. Candidate count is Σ n_b² over
+    buckets, the standard LSH trade (recall vs quadratic blowup); ``bits``
+    tunes it. Deterministic (seeded planes), so the pure-Python twin in
+    fixtures reproduces the exact row set.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    bucketed = lsh_buckets(spark, embeddings, dim, id_col, vec_col, bits)
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__emb_a")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__emb_b")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _pair_dot_expr(F.col("__emb_a"), F.col("__emb_b")) / (
+        _norm_expr(F.col("__emb_a")) * _norm_expr(F.col("__emb_b"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 9))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def lsh_ann_topk(
     spark: SparkSession,
     embeddings: DataFrame,

@@ -1,0 +1,139 @@
+"""Statistics / geometry-measure operators (SURVEY.md §2.4 A3-A6, §2.8 F16).
+
+A3 isochrone area, A4 cluster metrics, A5 per-variable null-rate stats,
+A6 GEOID prefix grouping, F16 quantile binning. All except the geometry
+area are pure Catalyst (hash aggregates / one window); the area runs the
+projected shoelace inside a vectorized pandas UDF over WKB — the same
+pattern the reference uses via GeoPandas ``to_crs(5070).area``
+(/root/reference/socialmapper/api/client.py:292-301).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from socialmapper_spark.functions.scalar import cleanse_census_value
+from socialmapper_spark.geo.albers import albers5070_forward
+from socialmapper_spark.geo.wkb import wkb_to_rings
+from socialmapper_spark.operators.census import dmean, dsum
+
+
+def polygon_area_km2(wkb: bytes) -> float:
+    """Equal-area (EPSG:5070) polygon area in km² — numpy shoelace.
+
+    Mirrors the reference's ``to_crs(epsg=5070) ... geometry.area / 1e6``
+    (api/client.py:297-301): exterior rings add, holes subtract.
+    """
+    total = 0.0
+    for rings in wkb_to_rings(bytes(wkb)):
+        for i, ring in enumerate(rings):
+            x, y = albers5070_forward(ring[:, 1], ring[:, 0])
+            if not (x[0] == x[-1] and y[0] == y[-1]):
+                x = np.append(x, x[0])
+                y = np.append(y, y[0])
+            shoelace = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+            total += shoelace if i == 0 else -shoelace
+    return total / 1e6
+
+
+def _area_udf():
+    @pandas_udf("double")
+    def area_km2(wkb: pd.Series) -> pd.Series:
+        return pd.Series([polygon_area_km2(b) for b in wkb], dtype=np.float64)
+
+    return area_km2
+
+
+def isochrone_area(polygons: DataFrame) -> DataFrame:
+    """A3: total equal-area km² per isochrone band (travel time + mode).
+
+    Reference: sum of per-isochrone areas in EPSG:5070 / 1e6
+    (api/client.py:292-301). Rounded to 9 decimals so the value hash is
+    stable against accumulation order (the per-polygon areas themselves
+    are deterministic; only the final sum could reorder — dsum on the
+    rounded per-row value makes it exact).
+    """
+    per_poly = polygons.filter(F.col("kind") == "isochrone").select(
+        "poly_id",
+        "travel_time_minutes",
+        "travel_mode",
+        # 6 dp so the per-row value is exactly representable in dsum's
+        # decimal(20,6) accumulator (≈ 1 m² resolution — ample)
+        F.round(_area_udf()(F.col("geometry_wkb")), 6).alias("area_km2"),
+    )
+    return per_poly.groupBy("travel_time_minutes", "travel_mode").agg(
+        F.count("*").alias("n_isochrones"),
+        dsum("area_km2").alias("total_area_km2"),
+    )
+
+
+def cluster_metrics(geoparsed: DataFrame, cell_col_name: str = "cell_r7") -> DataFrame:
+    """A4: cluster-size metrics (clustering.py:122-137) with the H3 cell as
+    the cluster key (the engine's locality-batching analog of DBSCAN,
+    SURVEY.md §2.9 C1). One row: n_clusters, total/mean/max/min size.
+    """
+    sizes = (
+        geoparsed.filter(F.col(cell_col_name).isNotNull())
+        .groupBy(cell_col_name)
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_clusters"),
+        dsum("cluster_size").alias("total_points"),
+        dmean("cluster_size").alias("mean_cluster_size"),
+        F.max("cluster_size").alias("max_cluster_size"),
+        F.min("cluster_size").alias("min_cluster_size"),
+    )
+
+
+def null_rate_stats(census_long: DataFrame) -> DataFrame:
+    """A5: per-variable valid/null counts AFTER sentinel cleansing
+    (census_service.py:79-97) — the data-quality report the reference logs.
+    """
+    cleansed = census_long.withColumn(
+        "value_clean", cleanse_census_value(F.col("variable_code"), F.col("value"))
+    )
+    return cleansed.groupBy("variable_code").agg(
+        F.count("*").alias("n_total"),
+        F.count("value_clean").alias("n_valid"),
+        (F.count("*") - F.count("value_clean")).alias("n_null"),
+        # int/int double division is bit-identical across engines — no round
+        ((F.count("*") - F.count("value_clean")).cast("double") / F.count("*")).alias(
+            "null_rate"
+        ),
+    )
+
+
+def geoid_prefix_groups(units: DataFrame, geoid_col: str = "GEOID") -> DataFrame:
+    """A6: group GEOIDs by the state+county prefix (census_service.py:309-337)
+    — the reference's API batching key and the engine's salting/partition
+    hierarchy (SURVEY.md §1.1 GEOID).
+    """
+    return (
+        units.groupBy(
+            F.substring(F.col(geoid_col), 1, 2).alias("state_fips"),
+            F.substring(F.col(geoid_col), 1, 5).alias("state_county"),
+        )
+        .agg(
+            F.count("*").alias("n_units"),
+            F.countDistinct(geoid_col).alias("n_distinct_geoids"),
+        )
+    )
+
+
+def quantile_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
+) -> DataFrame:
+    """F16: quantile classification binning (visualization/chloropleth.py:146-160,
+    scheme 'quantiles') as an ``ntile(k)`` window. Ties broken by geoid so
+    both engines assign identical bins.
+    """
+    w = Window.orderBy(F.col(variable).asc_nulls_last(), F.col("geoid").asc())
+    return (
+        census_wide.filter(F.col(variable).isNotNull())
+        .select("geoid", F.col(variable).alias("value"), F.ntile(k).over(w).alias("bin"))
+    )
