@@ -318,6 +318,53 @@ def q_poi_broadcast(spark, sf_dir):
     return units.crossJoin(F.broadcast(first_poi))
 
 
+def q_unit_centroids(spark, sf_dir):
+    """F7: block-group centroids (EPSG:5070 shoelace → back to 4326)."""
+    from socialmapper_spark.fixtures import ensure_geo_extras
+    from socialmapper_spark.operators.stats import unit_centroids
+
+    ensure_geo_extras(sf_dir)
+    out = unit_centroids(_read_geo(spark, sf_dir, "polygons"))
+    return out.select("GEOID", "lat", "lon")
+
+
+def q_centroid_nearest_poi(spark, sf_dir):
+    """J3 (the reference's actual shape): distance from each block-group
+    CENTROID to its nearest POI, min Euclidean km in EPSG:5070."""
+    from socialmapper_spark.fixtures import ensure_geo_extras
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.operators.stats import unit_centroids
+
+    ensure_geo_extras(sf_dir)
+    cents = unit_centroids(_read_geo(spark, sf_dir, "polygons"))
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    out = knn_join(spark, cents, pois, k=1, strategy="broadcast", id_col="GEOID")
+    return out.select("GEOID", "poi_id", "distance_km", "distance_miles")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal: deterministic frame sampling (one→many mapInPandas)."""
+    from socialmapper_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_read_geo(spark, sf_dir, "pages"), n_frames=4)
+
+
+def q_geoid_build(spark, sf_dir):
+    """F10 (build direction): assemble zero-padded GEOIDs from components."""
+    from socialmapper_spark.functions.scalar import geoid_build
+
+    polys = _read_geo(spark, sf_dir, "polygons").filter(F.col("kind") == "blockgroup")
+    return polys.select(
+        "poly_id",
+        geoid_build(
+            F.col("STATE"), F.col("COUNTY"), F.col("TRACT"), F.col("BLKGRP")
+        ).alias("geoid_built"),
+        (geoid_build(
+            F.col("STATE"), F.col("COUNTY"), F.col("TRACT"), F.col("BLKGRP")
+        ) == F.col("GEOID")).alias("matches"),
+    )
+
+
 # --- event-time operators over the driver's events table ---------------------
 
 def q_event_windows(spark, sf_dir):
@@ -573,6 +620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
+        "unit_centroids": q_unit_centroids,
+        "centroid_nearest_poi": q_centroid_nearest_poi,
+        "frame_sample": q_frame_sample,
+        "geoid_build": q_geoid_build,
     }
 
 
@@ -904,6 +955,27 @@ def oracle_sql() -> dict[str, str]:
                   from read_parquet('{g}/pois.parquet')
                   where lat <= 90.0 order by id limit 1) p
             where kind = 'blockgroup'
+        """,
+        "unit_centroids": f"""
+            select GEOID, lat, lon from read_parquet('{g}/golden_centroids.parquet')
+        """,
+        "centroid_nearest_poi": f"""
+            select GEOID, poi_id, distance_km, distance_miles
+            from read_parquet('{g}/golden_centroid_knn.parquet')
+        """,
+        "frame_sample": f"""
+            select url, cast(t.frame_idx as int) as frame_idx,
+                   md5(md5(decode(html)) || ':' || cast(t.frame_idx as varchar)) as frame_md5
+            from read_parquet('{g}/pages.parquet')
+            cross join (select unnest(range(4)) as frame_idx) t
+        """,
+        "geoid_build": f"""
+            select poly_id,
+                   lpad(STATE, 2, '0') || lpad(COUNTY, 3, '0')
+                     || lpad(TRACT, 6, '0') || lpad(BLKGRP, 1, '0') as geoid_built,
+                   (lpad(STATE, 2, '0') || lpad(COUNTY, 3, '0')
+                     || lpad(TRACT, 6, '0') || lpad(BLKGRP, 1, '0')) = GEOID as matches
+            from read_parquet('{g}/polygons.parquet') where kind = 'blockgroup'
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,

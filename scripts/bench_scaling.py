@@ -37,6 +37,9 @@ import time
 RUNS = int(os.environ.get("SCALING_RUNS", "2"))
 COOLDOWN_S = int(os.environ.get("SCALING_COOLDOWN_S", "20"))
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "4"))
+CORES_SMALL, CORES_BIG = (
+    int(v) for v in os.environ.get("SCALING_CORES", "8,32").split(",")
+)
 KERNEL_ROWS = int(os.environ.get("SCALING_KERNEL_ROWS", "40000000"))
 
 KERNEL = """
@@ -70,7 +73,7 @@ def main() -> None:
     best: dict[tuple[str, int], float] = {}
     pages = None
     for r in range(RUNS):
-        for cores in (32, 8) if r % 2 == 0 else (8, 32):
+        for cores in (CORES_BIG, CORES_SMALL) if r % 2 == 0 else (CORES_SMALL, CORES_BIG):
             k = run_json([sys.executable, kernel_path, str(cores), str(KERNEL_ROWS)])
             best[("kernel", cores)] = min(
                 best.get(("kernel", cores), 1e9), k["sec"]
@@ -88,21 +91,22 @@ def main() -> None:
                   f"flagship {fl['sec']}s", file=sys.stderr)
             time.sleep(COOLDOWN_S)
 
-    raw = best[("flagship", 8)] / best[("flagship", 32)] / 4.0
-    ceiling = best[("kernel", 8)] / best[("kernel", 32)] / 4.0
+    raw = best[("flagship", CORES_SMALL)] / best[("flagship", CORES_BIG)] / (CORES_BIG / CORES_SMALL)
+    ceiling = best[("kernel", CORES_SMALL)] / best[("kernel", CORES_BIG)] / (CORES_BIG / CORES_SMALL)
     summary = {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{CORES_SMALL}_to_{CORES_BIG}",
         "value": round(raw / ceiling, 3),
         "unit": "ratio",
         "raw_efficiency": round(raw, 3),
         "host_ceiling_efficiency": round(ceiling, 3),
         "normalized_efficiency": round(raw / ceiling, 3),
-        "flagship_sec_local8": best[("flagship", 8)],
-        "flagship_sec_local32": best[("flagship", 32)],
-        "kernel_sec_local8": best[("kernel", 8)],
-        "kernel_sec_local32": best[("kernel", 32)],
-        "throughput_local8_pages_per_sec": round(pages / best[("flagship", 8)], 1),
-        "throughput_local32_pages_per_sec": round(pages / best[("flagship", 32)], 1),
+        "cores": [CORES_SMALL, CORES_BIG],
+        "flagship_sec_small": best[("flagship", CORES_SMALL)],
+        "flagship_sec_big": best[("flagship", CORES_BIG)],
+        "kernel_sec_small": best[("kernel", CORES_SMALL)],
+        "kernel_sec_big": best[("kernel", CORES_BIG)],
+        "throughput_small_pages_per_sec": round(pages / best[("flagship", CORES_SMALL)], 1),
+        "throughput_big_pages_per_sec": round(pages / best[("flagship", CORES_BIG)], 1),
         "n_pages": pages,
         "replicate": REPLICATE,
         "note": (

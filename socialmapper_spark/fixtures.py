@@ -593,7 +593,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x1"
+GEO_EXTRA_VERSION = "x2"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -688,6 +688,75 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
             }
         ),
         out / "golden_area.parquet",
+    )
+
+    # --- golden_centroids + golden_centroid_knn: F7 twin ------------------
+    # centroid: plain-loop shoelace centroid in EPSG:5070 → inverse → 9 dp
+    # rounding (the engine's convention), then brute-force nearest POI from
+    # the ROUNDED centroid (mirroring the engine's two-stage path exactly).
+    from socialmapper_spark.geo.albers import albers5070_inverse
+
+    bg = duckdb.sql(
+        f"select poly_id, GEOID, geometry_wkb "
+        f"from read_parquet('{out}/polygons.parquet') where kind = 'blockgroup' "
+        "order by poly_id"
+    ).fetchall()
+    c_geoid, c_lat, c_lon = [], [], []
+    for _pid, geoid, wkb in bg:
+        sx = sy = sa = 0.0
+        for rings in wkb_to_rings(bytes(wkb)):
+            for ri, ring in enumerate(rings):
+                xs, ys = albers5070_forward(ring[:, 1], ring[:, 0])
+                xs, ys = list(xs), list(ys)
+                if not (xs[0] == xs[-1] and ys[0] == ys[-1]):
+                    xs.append(xs[0])
+                    ys.append(ys[0])
+                a2 = cx = cy = 0.0
+                for v in range(len(xs) - 1):
+                    cr = xs[v] * ys[v + 1] - xs[v + 1] * ys[v]
+                    a2 += cr
+                    cx += (xs[v] + xs[v + 1]) * cr
+                    cy += (ys[v] + ys[v + 1]) * cr
+                a = a2 / 2.0
+                if a == 0.0:
+                    continue
+                w = abs(a) if ri == 0 else -abs(a)
+                sx += (cx / (6.0 * a)) * w
+                sy += (cy / (6.0 * a)) * w
+                sa += w
+        la, lo = albers5070_inverse(sx / sa, sy / sa)
+        c_geoid.append(geoid)
+        c_lat.append(_round_half_up(float(la), 9))
+        c_lon.append(_round_half_up(float(lo), 9))
+    pq.write_table(
+        pa.table(
+            {
+                "GEOID": pa.array(c_geoid, pa.string()),
+                "lat": pa.array(c_lat, pa.float64()),
+                "lon": pa.array(c_lon, pa.float64()),
+            }
+        ),
+        out / "golden_centroids.parquet",
+    )
+    cx_, cy_ = albers5070_forward(np.array(c_lat), np.array(c_lon))
+    d_c = np.sqrt((cx_[:, None] - px[None, :]) ** 2 + (cy_[:, None] - py[None, :]) ** 2) / 1000.0
+    rows_ck = {"GEOID": [], "poi_id": [], "distance_km": [], "distance_miles": []}
+    for i in range(len(c_geoid)):
+        j = min(range(len(poi_ids)), key=lambda j: (d_c[i, j], poi_ids[j]))
+        rows_ck["GEOID"].append(c_geoid[i])
+        rows_ck["poi_id"].append(poi_ids[j])
+        rows_ck["distance_km"].append(float(d_c[i, j]))
+        rows_ck["distance_miles"].append(float(d_c[i, j]) * KM_TO_MILES)
+    pq.write_table(
+        pa.table(
+            {
+                "GEOID": pa.array(rows_ck["GEOID"], pa.string()),
+                "poi_id": pa.array(rows_ck["poi_id"], pa.string()),
+                "distance_km": pa.array(rows_ck["distance_km"], pa.float64()),
+                "distance_miles": pa.array(rows_ck["distance_miles"], pa.float64()),
+            }
+        ),
+        out / "golden_centroid_knn.parquet",
     )
 
     # --- custom_coords.csv: S3 tolerant-reader fixture --------------------

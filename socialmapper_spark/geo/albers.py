@@ -59,3 +59,31 @@ def albers5070_forward(lat, lon) -> tuple[np.ndarray, np.ndarray]:
     x = rho * np.sin(theta)
     y = _RHO0 - rho * np.cos(theta)
     return x, y
+
+
+def albers5070_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) EPSG:5070 meters → (lat, lon) degrees. Vectorized float64.
+
+    Snyder PP 1395 eqs. 14-10, 14-11 for rho/theta, then the latitude from
+    q by Newton iteration on eq. 3-16 (12 iterations — converges to double
+    precision in ≤5 for CONUS latitudes; fixed count keeps it branch-free
+    and deterministic). Round-trips with :func:`albers5070_forward` to
+    ~1e-9 degrees (≈0.1 mm), asserted in tests.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.sqrt(x * x + (_RHO0 - y) ** 2)
+    theta = np.arctan2(x, _RHO0 - y)  # N > 0 for EPSG:5070
+    lam = _LON0 + theta / _N
+    q = (_C - (rho * _N / _A) ** 2) / _N
+    # initial guess: spherical approximation
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(12):
+        s = np.sin(phi)
+        one_m = 1.0 - _E2 * s * s
+        phi = phi + (one_m ** 2 / (2.0 * np.cos(phi))) * (
+            q / (1.0 - _E2)
+            - s / one_m
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+        )
+    return np.rad2deg(phi), np.rad2deg(lam)

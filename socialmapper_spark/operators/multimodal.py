@@ -42,6 +42,45 @@ def _fake_dims(digest_hex: str) -> tuple[int, int]:
     )
 
 
+FRAME_SCHEMA = "url string, frame_idx int, frame_md5 string"
+
+
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Real resize — requires Pillow/opencv, absent in this container. The
+    Spark-side plumbing (binary in → binary out inside mapInPandas) is the
+    same as :func:`binary_metadata`; swap this in with a decoder wheel."""
+    raise NotImplementedError(
+        "image resize requires Pillow/opencv (not installed); the mapInPandas "
+        "plumbing is exercised via binary_metadata/frame_sample stubs"
+    )
+
+
+def frame_sample(
+    df: DataFrame, n_frames: int = 4, id_col: str = "url", binary_col: str = "html"
+) -> DataFrame:
+    """Deterministic frame-sampling stub: one output row per sampled frame
+    (the one→many Arrow batch shape a video frame sampler produces).
+
+    Real decoders are absent, so the 'frame' is a content-derived hash:
+    ``frame_md5 = md5(md5(content) + ':' + idx)`` — deterministic,
+    SQL-oracle reproducible, and shaped exactly like the real operator
+    (mapInPandas emitting a multiple of its input rows, no shuffle).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                digest = hashlib.md5(bytes(blob)).hexdigest()
+                for i in range(n_frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(f"{digest}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({"url": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
 def binary_metadata(
     df: DataFrame, id_col: str = "url", binary_col: str = "html"
 ) -> DataFrame:

@@ -48,6 +48,57 @@ def _area_udf():
     return area_km2
 
 
+def polygon_centroid_4326(wkb: bytes) -> tuple[float, float]:
+    """F7: area-weighted polygon centroid computed in EPSG:5070, converted
+    back to (lat, lon) degrees — the reference's block-group centroid step
+    (/root/reference/socialmapper/distance/__init__.py:133-138:
+    ``to_crs(5070).geometry.centroid`` then back to 4326).
+
+    Standard shoelace centroid per ring; holes and MultiPolygon members
+    combine by signed area weight. Output rounded to 9 dp (≈0.1 mm) so
+    downstream exact-parity comparisons are representation-stable.
+    """
+    from socialmapper_spark.geo.albers import albers5070_inverse
+
+    sx = sy = sa = 0.0
+    for rings in wkb_to_rings(bytes(wkb)):
+        for i, ring in enumerate(rings):
+            x, y = albers5070_forward(ring[:, 1], ring[:, 0])
+            if not (x[0] == x[-1] and y[0] == y[-1]):
+                x = np.append(x, x[0])
+                y = np.append(y, y[0])
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            a = float(np.sum(cross)) / 2.0
+            if a == 0.0:
+                continue
+            cx = float(np.sum((x[:-1] + x[1:]) * cross)) / (6.0 * a)
+            cy = float(np.sum((y[:-1] + y[1:]) * cross)) / (6.0 * a)
+            w = abs(a) if i == 0 else -abs(a)
+            sx += cx * w
+            sy += cy * w
+            sa += w
+    lat, lon = albers5070_inverse(sx / sa, sy / sa)
+    from socialmapper_spark.fixtures import _round_half_up
+
+    return _round_half_up(float(lat), 9), _round_half_up(float(lon), 9)
+
+
+def unit_centroids(polygons: DataFrame, kind: str | None = "blockgroup") -> DataFrame:
+    """(poly_id, GEOID, lat, lon) — centroid per polygon via a vectorized
+    pandas UDF over the WKB column (the polygon side is small; this runs
+    once per polygon, not per page)."""
+
+    @pandas_udf("struct<lat:double,lon:double>")
+    def centroid(wkb: pd.Series) -> pd.DataFrame:
+        pts = [polygon_centroid_4326(b) for b in wkb]
+        return pd.DataFrame({"lat": [p[0] for p in pts], "lon": [p[1] for p in pts]})
+
+    df = polygons if kind is None else polygons.filter(F.col("kind") == kind)
+    return df.select(
+        "poly_id", "GEOID", centroid(F.col("geometry_wkb")).alias("__c")
+    ).select("poly_id", "GEOID", F.col("__c.lat").alias("lat"), F.col("__c.lon").alias("lon"))
+
+
 def isochrone_area(polygons: DataFrame) -> DataFrame:
     """A3: total equal-area km² per isochrone band (travel time + mode).
 
