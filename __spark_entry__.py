@@ -365,6 +365,23 @@ def q_geoid_build(spark, sf_dir):
     )
 
 
+def q_lineage_stats(spark, sf_dir):
+    """O14: per-bucket lineage rows (bucket, row_count, checksum) for the
+    assignment stage. Deterministic content (xxhash64-XOR checksums are
+    order/partitioning-insensitive), but not SQL-expressible in DuckDB
+    (no xxhash64) — rows-only check by design."""
+    from socialmapper_spark.lineage import bucket_stats, with_bucket
+    from socialmapper_spark.pipeline import page_assignments
+
+    assigns = page_assignments(
+        spark, _read_geo(spark, sf_dir, "pages"), _read_geo(spark, sf_dir, "polygons")
+    )
+    bucketed = with_bucket(assigns, "url", 32)
+    return bucket_stats(bucketed, "assign", ["url", "poly_id"], cell_col="cell_r9").select(
+        "stage", "bucket", "row_count", "checksum", "cell_min", "cell_max"
+    )
+
+
 # --- event-time operators over the driver's events table ---------------------
 
 def q_event_windows(spark, sf_dir):
@@ -624,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_nearest_poi": q_centroid_nearest_poi,
         "frame_sample": q_frame_sample,
         "geoid_build": q_geoid_build,
+        "lineage_stats": q_lineage_stats,
     }
 
 
