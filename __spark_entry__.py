@@ -406,6 +406,17 @@ def q_event_sessions(spark, sf_dir):
     return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_event_props(spark, sf_dir):
+    """F17: JSON payload extraction (get_json_object over the props column,
+    mirroring the reference's POI tags parse, extraction.py:59-62)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_val"),
+        F.get_json_object(F.col("props"), "$.missing").alias("missing_val"),
+    )
+
+
 # --- relational parity over the driver's TPC-H-ish tables -------------------
 
 def q_pricing_summary(spark, sf_dir):
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
+        "event_props": q_event_props,
         "unit_centroids": q_unit_centroids,
         "centroid_nearest_poi": q_centroid_nearest_poi,
         "frame_sample": q_frame_sample,
@@ -994,6 +1006,12 @@ def oracle_sql() -> dict[str, str]:
                    (lpad(STATE, 2, '0') || lpad(COUNTY, 3, '0')
                      || lpad(TRACT, 6, '0') || lpad(BLKGRP, 1, '0')) = GEOID as matches
             from read_parquet('{g}/polygons.parquet') where kind = 'blockgroup'
+        """,
+        "event_props": """
+            select event_id,
+                   json_extract_string(props, '$.k') as k_val,
+                   json_extract_string(props, '$.missing') as missing_val
+            from events
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,
