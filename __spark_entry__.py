@@ -590,6 +590,17 @@ def q_lsh_ann(spark, sf_dir):
     return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + nprobe inverted-list rerank."""
+    from socialmapper_spark.fixtures import COSINE_K, COSINE_QUERY_IDS
+    from socialmapper_spark.operators.similarity import ivf_ann_topk
+
+    out = ivf_ann_topk(
+        spark, _read(spark, sf_dir, "embeddings"), COSINE_QUERY_IDS, COSINE_K
+    )
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
+
+
 def q_embedding_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: 6-bit LSH buckets + exact cosine."""
     from socialmapper_spark.operators.similarity import embedding_near_dup_pairs
@@ -633,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "embedding_dup": q_embedding_dup,
         "binary_metadata": q_binary_metadata,
         "knn_topk": q_knn_topk,
@@ -911,6 +923,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(64 + cast(('0x' || substr(md5(decode(html)),5,4)) as bigint) % 1080
                         as int) as fake_height
             from read_parquet('{g}/pages.parquet')
+        """,
+        "ivf_ann": f"""
+            select query_id, vec_id, cosine, rank
+            from read_parquet('{tg}/golden_ivf_ann.parquet')
         """,
         "embedding_dup": f"""
             select vec_a, vec_b, cosine

@@ -366,7 +366,7 @@ def _write_goldens(out, urls, texts, polys, pois):
 # ---------------------------------------------------------------------------
 
 TEXT_ROOT = pathlib.Path("/root/repo/data/text")
-TEXT_GOLDEN_VERSION = "v3"
+TEXT_GOLDEN_VERSION = "v4"
 COSINE_QUERY_IDS = [0, 1, 2, 3, 4]
 COSINE_K = 10
 
@@ -549,6 +549,49 @@ def ensure_text_goldens(sf_dir: str) -> pathlib.Path:
             ),
             out / fname,
         )
+    # IVF-ANN twin: identical coarse quantizer (shared driver-prep code),
+    # full-matrix assignment with 6-dp-rounded scores (batch-shape
+    # independent by construction), fold-exact cosine rerank
+    from socialmapper_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivf_assignment_scores,
+        train_ivf_centroids,
+    )
+
+    ids_sorted = sorted(vecs)
+    mat = np.array([vecs[v] for v in ids_sorted], dtype=np.float64)
+    cent = train_ivf_centroids(mat)
+    assign = np.argmin(ivf_assignment_scores(mat, cent), axis=1)
+    list_of = {vid: int(assign[i]) for i, vid in enumerate(ids_sorted)}
+    ivf_rows = []
+    for qid in COSINE_QUERY_IDS:
+        q = np.array(vecs[qid], dtype=np.float64)
+        qscores = ivf_assignment_scores(q[None, :], cent)[0]
+        probe = {int(c) for c in np.argsort(qscores, kind="stable")[:IVF_NPROBE]}
+        qn = float(np.sqrt(q @ q))  # engine computes the query norm via np.dot
+        scored = []
+        for vid in ids_sorted:
+            if vid == qid or list_of[vid] not in probe:
+                continue
+            cos = _round_half_up(
+                fold_dot(vecs[vid], vecs[qid]) / (fold_norm(vecs[vid]) * qn), 9
+            )
+            scored.append((vid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(scored[:COSINE_K], 1):
+            ivf_rows.append((qid, vid, cos, rank))
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in ivf_rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in ivf_rows], pa.int64()),
+                "cosine": pa.array([r[2] for r in ivf_rows], pa.float64()),
+                "rank": pa.array([r[3] for r in ivf_rows], pa.int32()),
+            }
+        ),
+        out / "golden_ivf_ann.parquet",
+    )
+
     # embedding-cosine near-dup pairs: same-bucket (6-bit LSH) pairs with
     # fold-exact cosine ≥ threshold — twin of
     # operators.similarity.embedding_near_dup_pairs

@@ -126,6 +126,128 @@ def lsh_buckets(
     return embeddings.withColumn("bucket", bucket(F.col(vec_col)))
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_SEED = 42
+IVF_TRAIN_CAP = 100_000
+
+
+def train_ivf_centroids(
+    vecs: np.ndarray, nlist: int = IVF_NLIST, iters: int = 5, seed: int = IVF_SEED
+) -> np.ndarray:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Driver-side prep (like polygon-index prep): trains on a bounded sample
+    (the caller caps collection at IVF_TRAIN_CAP), fixed seed, fixed
+    iteration count — the centroid matrix is a pure function of the
+    training set, shared verbatim by the engine and the oracle twin.
+    """
+    rng = np.random.default_rng(seed)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    idx = rng.choice(len(vecs), size=min(nlist, len(vecs)), replace=False)
+    cent = vecs[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(np.round(d2, 6), axis=1)
+        for c in range(len(cent)):
+            members = vecs[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assignment_scores(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Rounded squared-distance scores used for cluster assignment by BOTH
+    the executor UDF and the oracle twin. Rounding to 6 dp absorbs
+    BLAS-blocking last-bit differences so assignment is batch-shape
+    independent (ties then resolve to the lowest centroid index)."""
+    d2 = (
+        (cent**2).sum(axis=1)[None, :]
+        - 2.0 * (mat.astype(np.float64) @ cent.T)
+        + (mat.astype(np.float64) ** 2).sum(axis=1)[:, None]
+    )
+    return np.round(d2, 6)
+
+
+def ivf_ann_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer partitions the
+    corpus into nlist inverted lists; each query exact-reranks only the
+    nprobe nearest lists. Output schema matches :func:`cosine_topk`.
+
+    Scale shape: training samples ≤ IVF_TRAIN_CAP rows driver-side (hash
+    sample — deterministic under repartitioning); assignment is one
+    vectorized Arrow UDF pass (narrow); the probe filter prunes the scan
+    to ~nprobe/nlist of the corpus per query before the Catalyst-fold
+    rerank. The list id doubles as a partition/bucket key at 100 TB scale
+    (write the table clustered by it and probing prunes whole files).
+    """
+    n = embeddings.count()
+    train_df = embeddings.select(id_col, vec_col)
+    if n > IVF_TRAIN_CAP:
+        train_df = train_df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(max(n // IVF_TRAIN_CAP, 1)))
+            == 0
+        )
+    train = np.array(
+        [list(r[vec_col]) for r in train_df.orderBy(id_col).collect()], dtype=np.float64
+    )
+    cent = train_ivf_centroids(train, nlist)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @pandas_udf("int")
+    def list_id(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        scores = ivf_assignment_scores(mat, bc.value)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    listed = embeddings.withColumn("ivf_list", list_id(F.col(vec_col)))
+
+    qrows = {
+        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
+        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    per_query = []
+    for qid in query_ids:
+        q = qrows[qid]
+        qscores = ivf_assignment_scores(q[None, :], cent)[0]
+        probe = [int(c) for c in np.argsort(qscores, kind="stable")[:nprobe]]
+        qn = float(np.sqrt(q @ q))
+        cos = _dot_expr(F.col(vec_col), [float(x) for x in q]) / (
+            _norm_expr(F.col(vec_col)) * F.lit(qn)
+        )
+        per_query.append(
+            listed.filter(F.col("ivf_list").isin(probe))
+            .filter(F.col(id_col) != qid)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("vec_id_m"),
+                F.round(cos, 9).alias("cosine"),
+            )
+        )
+    allq = per_query[0]
+    for s in per_query[1:]:
+        allq = allq.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id_m").asc()
+    )
+    return (
+        allq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id_m").alias("vec_id"), "cosine", "rank")
+    )
+
+
 NEAR_DUP_BITS = 6
 NEAR_DUP_THRESHOLD = 0.35
 

@@ -179,6 +179,26 @@ def test_embedding_near_dup_matches_bruteforce(spark):
         assert buckets[a] == buckets[b]
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    from socialmapper_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = cosine_topk(spark, emb, qids, k=10).collect()
+    approx = ivf_ann_topk(spark, emb, qids, k=10).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # every approx hit carries the same cosine the exact path computed
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+    # nprobe=4 of 16 lists must still recover a reasonable share of top-10
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
 # --- F16 quantile bins -------------------------------------------------------
 
 def test_quantile_bins_balanced(spark, geo_small):
