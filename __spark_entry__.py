@@ -365,6 +365,26 @@ def q_geoid_build(spark, sf_dir):
     )
 
 
+def q_rasterize(spark, sf_dir):
+    """Raster↔vector (north_rule): vector→raster — per-pixel page counts
+    addressed as (tile, row, col), pure Catalyst cell/bit math."""
+    from socialmapper_spark.operators.raster import rasterize_counts
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    return rasterize_counts(geop)
+
+
+def q_vectorize_hotspots(spark, sf_dir):
+    """Raster↔vector: raster→vector — hotspot pixels (value ≥ 50) back as
+    cell polygons with exact bounds."""
+    from socialmapper_spark.operators.raster import rasterize_counts, vectorize_threshold
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    return vectorize_threshold(rasterize_counts(geop), threshold=50)
+
+
 def q_lineage_stats(spark, sf_dir):
     """O14: per-bucket lineage rows (bucket, row_count, checksum) for the
     assignment stage. Deterministic content (xxhash64-XOR checksums are
@@ -665,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_nearest_poi": q_centroid_nearest_poi,
         "frame_sample": q_frame_sample,
         "geoid_build": q_geoid_build,
+        "rasterize": q_rasterize,
+        "vectorize_hotspots": q_vectorize_hotspots,
         "lineage_stats": q_lineage_stats,
     }
 
@@ -1022,6 +1044,38 @@ def oracle_sql() -> dict[str, str]:
                    (lpad(STATE, 2, '0') || lpad(COUNTY, 3, '0')
                      || lpad(TRACT, 6, '0') || lpad(BLKGRP, 1, '0')) = GEOID as matches
             from read_parquet('{g}/polygons.parquet') where kind = 'blockgroup'
+        """,
+        "rasterize": f"""
+            with px as (
+                select cast(floor((lon+180.0)/0.0054931640625) as bigint) % 65536 as ix,
+                       least(greatest(cast(floor((lat+90.0)/0.0054931640625) as bigint),0),32767) as iy,
+                       count(*) as value
+                from read_parquet('{g}/golden_geoparsed.parquet')
+                where lat is not null
+                group by 1, 2
+            )
+            select 4*288230376151711744 + (ix//32)*536870912 + (iy//32) as tile_id,
+                   cast(iy % 32 as int) as px_row,
+                   cast(ix % 32 as int) as px_col,
+                   value
+            from px
+        """,
+        "vectorize_hotspots": f"""
+            with px as (
+                select cast(floor((lon+180.0)/0.0054931640625) as bigint) % 65536 as ix,
+                       least(greatest(cast(floor((lat+90.0)/0.0054931640625) as bigint),0),32767) as iy,
+                       count(*) as value
+                from read_parquet('{g}/golden_geoparsed.parquet')
+                where lat is not null
+                group by 1, 2
+            )
+            select 9*288230376151711744 + ix*536870912 + iy as cell,
+                   value,
+                   cast(iy as double)*0.0054931640625 - 90.0 as lat_min,
+                   (cast(iy as double)*0.0054931640625 - 90.0) + 0.0054931640625 as lat_max,
+                   cast(ix as double)*0.0054931640625 - 180.0 as lon_min,
+                   (cast(ix as double)*0.0054931640625 - 180.0) + 0.0054931640625 as lon_max
+            from px where value >= 50
         """,
         "event_props": """
             select event_id,

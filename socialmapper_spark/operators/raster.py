@@ -1,0 +1,162 @@
+"""Raster ↔ vector conversion (north_rule: "H3/S2 index, point-in-polygon,
+kNN, raster↔vector").
+
+The raster model is the standard distributed one: a raster is a TABLE of
+pixels grouped into fixed-size square tiles — `(tile_id, px_row, px_col,
+value)` — where the tile id is the parent cell of the pixel cell at a
+coarser resolution. Tiles are the unit of partitioning/IO (one tile ≈ one
+row group; a region query prunes tiles by id range), pixels are cell
+counts or any per-cell aggregate.
+
+- :func:`rasterize_counts` — vector→raster: points (geoparsed pages) are
+  binned into cells at ``res`` (pure Catalyst cell math), counted
+  (map-side-combinable hash agg), and addressed as (tile, row, col)
+  pixels with exact integer bit arithmetic. No UDF anywhere.
+- :func:`tile_arrays` — materializes each tile as a dense 2-D array via
+  ``applyInPandas`` (one group per tile) — the shape a real raster
+  consumer (GeoTIFF writer, conv feature extractor) ingests.
+- :func:`vectorize_threshold` — raster→vector: pixels above a threshold
+  come back as cell polygons with exact bounds (and WKB geometry for
+  interop), i.e. hotspot extraction. Again pure Catalyst except the
+  (optional) WKB bytes.
+
+Reference tie-in: the reference has no raster layer; its closest analog
+is the choropleth binning (visualization/chloropleth.py) which bins
+values over polygons. This operator family generalizes that to the cell
+grid the whole engine is keyed on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from socialmapper_spark.geo.cells import _IX_SHIFT, _R_SHIFT, cell_col, cell_size_deg
+
+DEFAULT_RES = 9
+DEFAULT_TILE_RES = 4
+
+
+def _ix(cell: F.Column) -> F.Column:
+    rem = F.pmod(cell, F.lit(_R_SHIFT))
+    return F.floor(rem / F.lit(_IX_SHIFT)).cast("long")
+
+
+def _iy(cell: F.Column) -> F.Column:
+    rem = F.pmod(cell, F.lit(_R_SHIFT))
+    return (rem - _ix(cell) * F.lit(_IX_SHIFT)).cast("long")
+
+
+def rasterize_counts(
+    points: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = DEFAULT_RES,
+    tile_res: int = DEFAULT_TILE_RES,
+) -> DataFrame:
+    """Vector → raster: per-pixel point counts, tiled.
+
+    Output: (tile_id long, px_row int, px_col int, value long) — px_row/
+    px_col are the pixel's offset within its 2^dr × 2^dr tile.
+    """
+    dr = res - tile_res
+    side = 1 << dr
+    pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    cells = pts.select(cell_col(F.col(lat), F.col(lon), res).alias("cell"))
+    counts = cells.groupBy("cell").agg(F.count("*").alias("value"))
+    ix, iy = _ix(F.col("cell")), _iy(F.col("cell"))
+    tile = (
+        F.lit(tile_res).cast("long") * F.lit(_R_SHIFT)
+        + F.floor(ix / F.lit(side)).cast("long") * F.lit(_IX_SHIFT)
+        + F.floor(iy / F.lit(side)).cast("long")
+    )
+    return counts.select(
+        tile.alias("tile_id"),
+        F.pmod(iy, F.lit(side)).cast("int").alias("px_row"),
+        F.pmod(ix, F.lit(side)).cast("int").alias("px_col"),
+        "value",
+    )
+
+
+def tile_arrays(
+    raster: DataFrame, res: int = DEFAULT_RES, tile_res: int = DEFAULT_TILE_RES
+) -> DataFrame:
+    """Materialize dense per-tile arrays: (tile_id, side, values flat list,
+    row-major). One grouped-map UDF per tile — the Arrow batch IS the tile.
+    """
+    side = 1 << (res - tile_res)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((side, side), dtype=np.int64)
+        arr[pdf["px_row"].to_numpy(), pdf["px_col"].to_numpy()] = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "tile_id": [int(pdf["tile_id"].iloc[0])],
+                "side": [side],
+                "values": [arr.ravel().tolist()],
+            }
+        )
+
+    return raster.groupBy("tile_id").applyInPandas(
+        build, "tile_id long, side int, values array<long>"
+    )
+
+
+def vectorize_threshold(
+    raster: DataFrame,
+    threshold: int,
+    res: int = DEFAULT_RES,
+    tile_res: int = DEFAULT_TILE_RES,
+    with_wkb: bool = False,
+) -> DataFrame:
+    """Raster → vector: pixels with value ≥ threshold as cell polygons.
+
+    Output: (cell, value, lat_min, lat_max, lon_min, lon_max) with exact
+    cell-boundary coordinates (pure Catalyst); ``with_wkb`` adds the WKB
+    polygon bytes for interop (Arrow UDF, off the comparison path).
+    """
+    dr = res - tile_res
+    side = 1 << dr
+    size = cell_size_deg(res)
+    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
+    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
+    ix = tix * F.lit(side) + F.col("px_col")
+    iy = tiy * F.lit(side) + F.col("px_row")
+    cell = (
+        F.lit(res).cast("long") * F.lit(_R_SHIFT)
+        + ix.cast("long") * F.lit(_IX_SHIFT)
+        + iy.cast("long")
+    )
+    lon_min = ix.cast("double") * F.lit(size) - F.lit(180.0)
+    lat_min = iy.cast("double") * F.lit(size) - F.lit(90.0)
+    out = raster.filter(F.col("value") >= threshold).select(
+        cell.alias("cell"),
+        "value",
+        lat_min.alias("lat_min"),
+        (lat_min + F.lit(size)).alias("lat_max"),
+        lon_min.alias("lon_min"),
+        (lon_min + F.lit(size)).alias("lon_max"),
+    )
+    if with_wkb:
+        from pyspark.sql.functions import pandas_udf
+
+        from socialmapper_spark.geo.wkb import polygon_to_wkb
+
+        @pandas_udf("binary")
+        def cell_wkb(lat0: pd.Series, lat1: pd.Series, lon0: pd.Series, lon1: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    polygon_to_wkb(
+                        [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
+                    )
+                    for y0, y1, x0, x1 in zip(lat0, lat1, lon0, lon1)
+                ]
+            )
+
+        out = out.withColumn(
+            "geometry_wkb",
+            cell_wkb(F.col("lat_min"), F.col("lat_max"), F.col("lon_min"), F.col("lon_max")),
+        )
+    return out

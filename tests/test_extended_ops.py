@@ -199,6 +199,52 @@ def test_ivf_ann_recall_vs_exact(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+# --- raster ↔ vector ---------------------------------------------------------
+
+def test_raster_roundtrip(spark, geo_small):
+    from socialmapper_spark.operators.raster import (
+        rasterize_counts,
+        tile_arrays,
+        vectorize_threshold,
+    )
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(spark.read.parquet(f"{geo_small}/pages.parquet"))
+    n_points = geop.filter(F.col("lat").isNotNull()).count()
+    raster = rasterize_counts(geop)
+    # mass conservation: pixel values sum to the point count
+    assert raster.agg(F.sum("value")).first()[0] == n_points
+    # pixel addresses are within the 32x32 tile
+    bad = raster.filter(
+        (F.col("px_row") < 0) | (F.col("px_row") > 31)
+        | (F.col("px_col") < 0) | (F.col("px_col") > 31)
+    ).count()
+    assert bad == 0
+    # dense tiles carry the same mass
+    tiles = tile_arrays(raster).collect()
+    assert sum(sum(t["values"]) for t in tiles) == n_points
+    assert all(t["side"] == 32 and len(t["values"]) == 1024 for t in tiles)
+    # vectorize: every hotspot cell's bounds contain ≥ threshold points
+    hot = vectorize_threshold(raster, threshold=5, with_wkb=True).collect()
+    assert len(hot) > 0
+    pts = geop.filter(F.col("lat").isNotNull()).select("lat", "lon").collect()
+    for h in hot[:5]:
+        inside = sum(
+            1 for p in pts
+            if h["lat_min"] <= p["lat"] < h["lat_max"]
+            and h["lon_min"] <= p["lon"] < h["lon_max"]
+        )
+        assert inside == h["value"]
+        assert h["geometry_wkb"] is not None
+    # raster→vector→raster closes: hotspot cells re-encode to themselves
+    from socialmapper_spark.geo.cells import cell_np
+
+    for h in hot[:5]:
+        mid_lat = (h["lat_min"] + h["lat_max"]) / 2
+        mid_lon = (h["lon_min"] + h["lon_max"]) / 2
+        assert int(cell_np([mid_lat], [mid_lon], 9)[0]) == h["cell"]
+
+
 # --- F16 quantile bins -------------------------------------------------------
 
 def test_quantile_bins_balanced(spark, geo_small):
