@@ -80,6 +80,12 @@ def main() -> None:
     )
     queries["knn_kring"] = round(t, 3)
 
+    # raster path (vector→raster, pure Catalyst bit math)
+    from socialmapper_spark.operators.raster import rasterize_counts
+
+    t, _ = timed(lambda: rasterize_counts(geoparse_pages(pages)).count())
+    queries["rasterize"] = round(t, 3)
+
     # relational representative
     t, _ = timed(lambda: entrymod.q_pricing_summary(spark, sf_dir).collect())
     queries["pricing_summary"] = round(t, 3)
