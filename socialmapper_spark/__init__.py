@@ -10,7 +10,15 @@ Common-Crawl-style web-page tables:
       → two-phase point-in-polygon join vs broadcast polygon tables
       → kNN POI lookup (cell k-ring expansion / broadcast brute force)
       → census pivot-join + demographic aggregation
+      → raster↔vector (tiled pixel tables, hotspot vectorize)
       → per-partition lineage + checkpoint resume
+
+plus the training-data-pipeline operator families over documents /
+embeddings / events tables: exact + MinHash-LSH + SimHash dedup,
+cosine/LSH/IVF similarity search, embedding near-dup pairs, text quality
+and language-ID scoring, multimodal binary-column plumbing, event-time
+windowing (batch + Structured Streaming twins) and sessionization,
+explicit skew salting, and Iceberg-or-parquet table IO.
 
 Architecture is Spark-first: DataFrame/SQL plans optimized by Catalyst,
 pure column expressions on the hot path (cell encode, haversine, geoparse

@@ -22,3 +22,29 @@ from socialmapper_spark.operators.census import (  # noqa: F401
     dedup_units,
     pivot_census,
 )
+from socialmapper_spark.operators.raster import (  # noqa: F401
+    rasterize_counts,
+    tile_arrays,
+    vectorize_threshold,
+)
+from socialmapper_spark.operators.skew import (  # noqa: F401
+    cell_histogram,
+    salted_agg_by_key,
+    salted_count_by_key,
+    salted_join,
+)
+from socialmapper_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from socialmapper_spark.operators.dedup import (  # noqa: F401
+    jaccard_verify,
+    near_dup_pairs_minhash,
+    simhash_docs,
+)
+from socialmapper_spark.operators.multimodal import (  # noqa: F401
+    binary_metadata,
+    frame_sample,
+)
