@@ -426,6 +426,14 @@ def q_event_sessions(spark, sf_dir):
     return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_event_sessions_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user streaming sessionization — must equal the batch plan."""
+    from socialmapper_spark.operators.events import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir, gap_minutes=30)
+
+
 def q_event_props(spark, sf_dir):
     """F17: JSON payload extraction (get_json_object over the props column,
     mirroring the reference's POI tags parse, extraction.py:59-62)."""
@@ -680,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
+        "event_sessions_stream": q_event_sessions_stream,
         "event_props": q_event_props,
         "unit_centroids": q_unit_centroids,
         "centroid_nearest_poi": q_centroid_nearest_poi,
@@ -1085,7 +1094,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,
-        "event_sessions": """
+        "event_sessions_stream": _EVENT_SESSIONS_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
+    }
+
+
+_EVENT_SESSIONS_SQL = """
             with e as (
                 select user_id, event_id, ts, value, epoch_us(ts) as us from events
             ), f as (
@@ -1109,9 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_events,
                    cast(sum(cast(value as decimal(20,6))) as double) as total_value
             from g group by user_id, session_seq
-        """,
-    }
-
+        """
 
 _EVENT_WINDOWS_SQL = """
     select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,

