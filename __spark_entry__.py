@@ -253,6 +253,15 @@ def q_quantile_bins(spark, sf_dir):
     return quantile_bins(wide, "B19013_001E", k=5)
 
 
+def q_equal_interval_bins(spark, sf_dir):
+    """F16 (second scheme): equal-interval classification over income."""
+    from socialmapper_spark.operators.census import pivot_census
+    from socialmapper_spark.operators.stats import equal_interval_bins
+
+    wide = pivot_census(_read_geo(spark, sf_dir, "census_long"))
+    return equal_interval_bins(wide, "B19013_001E", k=5)
+
+
 def q_custom_coords(spark, sf_dir):
     """S3: schema-tolerant custom coordinates reader (lat/latitude/y etc.)."""
     from socialmapper_spark.fixtures import ensure_geo_extras
@@ -681,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_rate": q_null_rate,
         "geoid_prefix": q_geoid_prefix,
         "quantile_bins": q_quantile_bins,
+        "equal_interval_bins": q_equal_interval_bins,
         "custom_coords": q_custom_coords,
         "state_normalize": q_state_normalize,
         "counties_from_pages": q_counties_from_pages,
@@ -1001,6 +1011,21 @@ def oracle_sql() -> dict[str, str]:
             select geoid, B19013_001E as value,
                    ntile(5) over (order by B19013_001E asc, geoid asc) as bin
             from ({wide}) where B19013_001E is not null
+        """,
+        "equal_interval_bins": f"""
+            with vals as (
+                select geoid, B19013_001E as value from ({wide})
+                where B19013_001E is not null
+            ), bounds as (
+                select min(value) as lo, max(value) as hi from vals
+            )
+            select geoid, value,
+                   case when hi = lo then 1
+                        else least(
+                            cast(floor((value - lo) / ((hi - lo) / 5.0)) as int) + 1,
+                            5)
+                   end as bin
+            from vals, bounds
         """,
         "custom_coords": f"""
             select id, coalesce(name, 'Custom POI ' || id) as name,

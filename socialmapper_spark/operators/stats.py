@@ -176,6 +176,30 @@ def geoid_prefix_groups(units: DataFrame, geoid_col: str = "GEOID") -> DataFrame
     )
 
 
+def equal_interval_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
+) -> DataFrame:
+    """F16: equal-interval classification (chloropleth.py scheme
+    'equal_interval'): k bins of width (max-min)/k; the max value lands in
+    bin k. Two-phase plan: a 1-row min/max aggregate broadcast-joined back
+    (no window, no second scan at table scale).
+    """
+    vals = census_wide.filter(F.col(variable).isNotNull())
+    bounds = vals.agg(
+        F.min(variable).alias("__lo"), F.max(variable).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(k))
+    bin_col = F.when(F.col("__hi") == F.col("__lo"), F.lit(1)).otherwise(
+        F.least(
+            F.floor((F.col(variable) - F.col("__lo")) / width).cast("int") + 1,
+            F.lit(k),
+        )
+    )
+    return vals.crossJoin(F.broadcast(bounds)).select(
+        "geoid", F.col(variable).alias("value"), bin_col.alias("bin")
+    )
+
+
 def quantile_bins(
     census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
 ) -> DataFrame:
