@@ -87,6 +87,9 @@ def _auto_rings(px: np.ndarray, py: np.ndarray, plat: np.ndarray, k: int) -> int
     return rings
 
 
+AUTO_BROADCAST_MAX_POIS = 10_000
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -102,8 +105,15 @@ def knn_join(
 
     Output: id_col, poi_id, distance_km, distance_miles, knn_rank
     (k=1 callers usually drop knn_rank). NULL-coordinate points drop out.
+
+    ``strategy="auto"`` picks broadcast for POI sets up to
+    AUTO_BROADCAST_MAX_POIS (the crossJoin+min(struct) plan beats the
+    ring machinery when |POIs| candidates per point is already cheap) and
+    the k-ring prune beyond that.
     """
     ids, plat, plon, px, py = _poi_frame(spark, pois)
+    if strategy == "auto":
+        strategy = "broadcast" if len(ids) <= AUTO_BROADCAST_MAX_POIS else "kring"
     poi_sdf = spark.createDataFrame(
         list(zip(ids, [float(v) for v in px], [float(v) for v in py])),
         "poi_id string, poi_x double, poi_y double",
