@@ -1142,7 +1142,7 @@ _EVENT_SESSIONS_SQL = """
                        ) as session_seq
                 from f
             )
-            select user_id, session_seq,
+            select user_id, cast(session_seq as bigint) as session_seq,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') as session_end,
                    count(*) as n_events,

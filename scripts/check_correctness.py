@@ -28,6 +28,10 @@ TABLES = [
 def norm(v):
     if v is None:
         return "\x00NULL"
+    # pandas/numpy scalars (the driver fetches the oracle via pandas, which is
+    # what exposes DuckDB HUGEINT -> float64 typing drift; keep that behavior)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -37,6 +41,16 @@ def norm(v):
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return repr(v)
+
+
+def _is_na(x) -> bool:
+    try:
+        import pandas as pd
+
+        return x is None or (not isinstance(x, (list, tuple, dict, bytes, bytearray))
+                             and not hasattr(x, "__len__") and pd.isna(x))
+    except (TypeError, ValueError):
+        return False
 
 
 def main(selected: list[str]) -> int:
@@ -67,7 +81,13 @@ def main(selected: list[str]) -> int:
                 continue
             res = con.execute(oracles[name])
             oracle_cols = [d[0] for d in res.description]
-            oracle_rows = res.fetchall()
+            # fetch via pandas like the driver's hasher does — this surfaces
+            # type drift (e.g. HUGEINT -> float64) that fetchall() hides
+            odf = res.df()
+            oracle_rows = [
+                tuple(None if _is_na(x) else x for x in row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
             colmap = {c.lower(): i for i, c in enumerate(oracle_cols)}
             exp = sorted(
                 tuple(norm(row[colmap[c.lower()]]) for c in sorted(spark_cols))
