@@ -142,6 +142,80 @@ def covering_cells(rings: list[np.ndarray], res: int) -> list[int]:
     ]
 
 
+def _ring_boundary_cover(ring: np.ndarray, res: int) -> np.ndarray:
+    """(ix, iy) pairs of every cell a ring's edges pass through (superset).
+
+    Fully vectorized supercover: each edge is subdivided into pieces no
+    longer than one cell edge per axis, and each piece contributes the
+    (≤2×2) cells of its own bbox — a tight superset of the true segment
+    supercover with O(perimeter / cell_size) output, so a long diagonal
+    edge no longer inflates the cover quadratically like a bbox would.
+    """
+    size = cell_size_deg(res)
+    ring = np.asarray(ring, dtype=np.float64)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    npiece = np.maximum(
+        1,
+        np.ceil(np.maximum(np.abs(x2 - x1), np.abs(y2 - y1)) / size).astype(np.int64),
+    )
+    e = np.repeat(np.arange(ring.shape[0]), npiece)
+    k = np.arange(npiece.sum()) - np.repeat(np.cumsum(npiece) - npiece, npiece)
+    t0 = k / npiece[e]
+    t1 = (k + 1) / npiece[e]
+    ax = x1[e] + (x2[e] - x1[e]) * t0
+    ay = y1[e] + (y2[e] - y1[e]) * t0
+    bx = x1[e] + (x2[e] - x1[e]) * t1
+    by = y1[e] + (y2[e] - y1[e]) * t1
+    ix0 = np.floor((np.minimum(ax, bx) + 180.0) / size).astype(np.int64)
+    ix1 = np.floor((np.maximum(ax, bx) + 180.0) / size).astype(np.int64)
+    iy0 = np.floor((np.minimum(ay, by) + 90.0) / size).astype(np.int64)
+    iy1 = np.floor((np.maximum(ay, by) + 90.0) / size).astype(np.int64)
+    # each piece spans at most 2 cells per axis; emit the 4 bbox corners
+    ix = np.concatenate([ix0, ix1, ix0, ix1])
+    iy = np.concatenate([iy0, iy0, iy1, iy1])
+    return np.unique(np.stack([ix, iy], axis=1), axis=0)
+
+
+def polygon_cover_cells(polys: list[list[np.ndarray]], res: int) -> np.ndarray:
+    """Cells intersecting the polygon itself (not just its bbox) — int64 ids.
+
+    Still an over-approximation (no false negatives, SURVEY.md §4 O3):
+    boundary cells come from the exterior-edge supercover; interior cells
+    are the bbox candidates whose center lies inside the exterior ring.
+    Holes are ignored (cells inside a hole become false positives that the
+    exact refine removes — over-approximation is the safe direction).
+    ``polys`` is a list of MultiPolygon members, each [exterior, holes...].
+    """
+    from socialmapper_spark.geo.pip import points_in_ring
+
+    size = cell_size_deg(res)
+    nx, ny = _nx(res), _ny(res)
+    parts = []
+    for rings in polys:
+        ext = np.asarray(rings[0], dtype=np.float64)
+        parts.append(_ring_boundary_cover(ext, res))
+        lon_min, lat_min = ext.min(axis=0)
+        lon_max, lat_max = ext.max(axis=0)
+        ix0 = int(np.floor((lon_min + 180.0) / size))
+        ix1 = int(np.floor((lon_max + 180.0) / size))
+        iy0 = int(np.floor((lat_min + 90.0) / size))
+        iy1 = int(np.floor((lat_max + 90.0) / size))
+        gx, gy = np.meshgrid(
+            np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1), indexing="ij"
+        )
+        gx = gx.ravel()
+        gy = gy.ravel()
+        cx = (gx + 0.5) * size - 180.0
+        cy = (gy + 0.5) * size - 90.0
+        inside = points_in_ring(cx, cy, ext)
+        parts.append(np.stack([gx[inside], gy[inside]], axis=1))
+    ixy = np.unique(np.concatenate(parts, axis=0), axis=0)
+    ix = ixy[:, 0] % nx
+    iy = np.clip(ixy[:, 1], 0, ny - 1)
+    return np.unique(np.int64(res) * _R_SHIFT + ix * _IX_SHIFT + iy)
+
+
 # ---------------------------------------------------------------------------
 # Spark column expressions (pure Catalyst — no UDF on the hot path)
 # ---------------------------------------------------------------------------
@@ -163,6 +237,34 @@ def cell_col(lat: Column, lon: Column, res: int) -> Column:
         + ix.cast("long") * F.lit(_IX_SHIFT)
         + iy.cast("long")
     )
+
+
+def grid_disk_col(cell: Column, res: int, k: int) -> Column:
+    """array<long> of all cells within Chebyshev distance ``k`` — the pure
+    Catalyst twin of :func:`grid_disk` (longitude wraps via pmod, rows off
+    the poles drop out as filtered NULLs). Keeping the k-ring expansion
+    inside the plan means a million-POI table explodes distributed on
+    executors instead of in a driver loop."""
+    rem = F.pmod(cell, F.lit(_R_SHIFT))
+    ix = F.floor(rem / F.lit(_IX_SHIFT)).cast("long")
+    iy = (rem - ix * F.lit(_IX_SHIFT)).cast("long")
+    ny = F.lit(_ny(res))
+    base = F.lit(res).cast("long") * F.lit(_R_SHIFT)
+    arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-k), F.lit(k)),
+            lambda dy: F.transform(
+                F.sequence(F.lit(-k), F.lit(k)),
+                lambda dx: F.when(
+                    ((iy + dy) >= 0) & ((iy + dy) < ny),
+                    base
+                    + F.pmod(ix + dx, F.lit(_nx(res))) * F.lit(_IX_SHIFT)
+                    + (iy + dy),
+                ),
+            ),
+        )
+    )
+    return F.filter(arr, lambda c: c.isNotNull())
 
 
 def cell_to_parent_col(cell: Column, res: int, parent_res: int) -> Column:

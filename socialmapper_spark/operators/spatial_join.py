@@ -7,28 +7,40 @@ geocoder.py:41-83) and uses GeoPandas ``.intersects`` for the isochrone ∩
 block-group join (/root/reference/socialmapper/pipeline/census.py:88).
 Our engine computes both locally with one plan shape:
 
-  phase 1 (prefilter, JVM-side): equi-join points to a broadcast
-      (cell → poly_id) table on the cell id at PREFILTER_RES. The cell
-      cover OVER-approximates each polygon (no false negatives; O3 in
+  phase 0 (prep, distributed): the polygon table is optionally
+      simplified (F9 Douglas-Peucker, reference
+      spatial_block_group_service.py:89-90) and its cell cover computed
+      by a ``mapInPandas`` over the polygons DataFrame — per-polygon
+      numpy work on executors, never a driver-side geometry loop, so a
+      nationwide 240k-block-group table preps in parallel. The cover
+      wraps the *polygon* (edge supercover + interior centers), not its
+      bbox, so long diagonal isochrone hulls don't inflate candidates.
+  phase 1 (prefilter, JVM-side): equi-join points to the broadcast
+      (cell → poly_id) table on the cell id at PREFILTER_RES. The cover
+      OVER-approximates each polygon (no false negatives; O3 in
       SURVEY.md §4), so phase 1 is a pure broadcast hash join that
       Catalyst keeps inside whole-stage codegen.
-  phase 2 (exact refine, vectorized Python): a pandas UDF evaluates
-      ray-casting PIP per candidate against the polygon's rings, grouping
-      each Arrow batch by poly_id so the numpy kernel runs vectorized
-      over points (the big side). Polygon geometry reaches executors via
-      a TorrentBroadcast dict — one copy per executor, never reshuffled.
+  phase 2 (exact refine, vectorized Python): candidates pick up their
+      polygon's (simplified) WKB via a second *broadcast hash join* on
+      poly_id — geometry reaches executors through Spark's own
+      BroadcastExchange, no driver collect, no SparkContext.broadcast
+      pickle — and a stateless pandas UDF ray-casts each Arrow batch,
+      grouped by poly_id so the numpy kernel runs vectorized over points
+      (the big side) and each polygon's WKB parses once per batch.
 
 Scale notes (100 TB design point): the points side is never shuffled —
-phase 1 is broadcast, phase 2 is a narrow map. Output partitioning is
-inherited from the scan, so callers that aggregate by polygon afterwards
-shuffle only the (much smaller) matched rows. Hot-cell skew does not
-matter for the join itself (no shuffle); it matters for downstream
-aggregations, which salt on cell keys (see pipeline.py).
+phase 1/2 are broadcast joins, the refine is a narrow map. Output
+partitioning is inherited from the scan, so callers that aggregate by
+polygon afterwards shuffle only the (much smaller) matched rows.
+Hot-cell skew does not matter for the join itself (no shuffle); it
+matters for downstream aggregations, which salt on cell keys (see
+pipeline.py).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -36,70 +48,117 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from socialmapper_spark.geo.cells import cell_col, covering_cells
+from socialmapper_spark.geo.cells import cell_col, polygon_cover_cells
 from socialmapper_spark.geo.pip import points_in_polygon
-from socialmapper_spark.geo.wkb import wkb_to_rings
+from socialmapper_spark.geo.simplify import simplify_polygon
+from socialmapper_spark.geo.wkb import polygon_to_wkb, wkb_to_rings
 
 PREFILTER_RES = 7
 
 
 @dataclass
 class PolygonIndex:
-    """Driver-prepared broadcast state for one polygon table.
+    """Distributed-prepared state for one polygon table.
 
-    cells_df: (cell:long, poly_id:string) over-approximate cover
-    geoms:    SparkContext broadcast of {poly_id: [rings...]}
+    cells_df: (cell:long, poly_id:string) over-approximate polygon cover
+    geoms_df: (poly_id:string, __poly_wkb:binary) — simplified geometry,
+              shipped to the refine via a broadcast hash join
     meta_df:  original polygon attributes minus geometry (join-back side)
     """
 
     cells_df: DataFrame
-    geoms: object  # pyspark Broadcast[dict[str, list[np.ndarray]]]
+    geoms_df: DataFrame
     meta_df: DataFrame
 
 
+def _simplify_batches(tol: float):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wkbs = [
+                polygon_to_wkb_multi(
+                    [simplify_polygon(rings, tol) for rings in wkb_to_rings(bytes(b))]
+                )
+                for b in pdf["geometry_wkb"]
+            ]
+            yield pd.DataFrame({"poly_id": pdf["poly_id"], "geometry_wkb": wkbs})
+
+    return run
+
+
+def polygon_to_wkb_multi(polys: list[list[np.ndarray]]) -> bytes:
+    """Members → WKB (Polygon when single, MultiPolygon otherwise)."""
+    import struct
+
+    if len(polys) == 1:
+        return polygon_to_wkb(polys[0])
+    parts = [struct.pack("<BII", 1, 6, len(polys))]
+    parts += [polygon_to_wkb(rings) for rings in polys]
+    return b"".join(parts)
+
+
+def _cover_batches(res: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids: list[str] = []
+            cells: list[np.ndarray] = []
+            for pid, b in zip(pdf["poly_id"], pdf["geometry_wkb"]):
+                cc = polygon_cover_cells(wkb_to_rings(bytes(b)), res)
+                pids.extend([pid] * len(cc))
+                cells.append(cc)
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(cells) if cells else np.array([], np.int64),
+                    "poly_id": pids,
+                }
+            )
+
+    return run
+
+
 def prepare_polygons(
-    spark: SparkSession, polygons: DataFrame, res: int = PREFILTER_RES
+    spark: SparkSession,
+    polygons: DataFrame,
+    res: int = PREFILTER_RES,
+    simplify_tolerance_deg: float = 0.0,
 ) -> PolygonIndex:
-    """Collect the (small, broadcastable) polygon side and build the index.
+    """Build the polygon-side index — entirely inside the Spark plan.
 
     Mirrors the reference's one-time polygon prep (simplify + spatial
-    index, spatial_block_group_service.py:83-94) — done once on the
-    driver, shipped to executors as a broadcast.
+    index, spatial_block_group_service.py:83-94), but distributed: both
+    the optional F9 simplify and the cell-cover explode run as
+    ``mapInPandas`` over the polygons DataFrame, so no geometry is ever
+    collected to the driver. ``simplify_tolerance_deg`` defaults to 0
+    (exact geometry — required when results must match an exact oracle);
+    the reference's 100 m is ≈0.001°.
     """
-    rows = polygons.select("poly_id", "geometry_wkb").collect()
-    geom_map: dict[str, list[np.ndarray]] = {}
-    cell_rows: list[tuple[int, str]] = []
-    for r in rows:
-        polys = wkb_to_rings(bytes(r["geometry_wkb"]))
-        # flatten MultiPolygon members into one ring list per poly_id;
-        # PIP over multiple exteriors = OR, handled by per-member test
-        geom_map[r["poly_id"]] = polys
-        seen = set()
-        for rings in polys:
-            for c in covering_cells(rings, res):
-                if c not in seen:
-                    seen.add(c)
-                    cell_rows.append((c, r["poly_id"]))
-    cells_df = spark.createDataFrame(cell_rows, "cell long, poly_id string")
-    geoms = spark.sparkContext.broadcast(geom_map)
+    geom = polygons.select("poly_id", "geometry_wkb")
+    if simplify_tolerance_deg > 0.0:
+        geom = geom.mapInPandas(
+            _simplify_batches(simplify_tolerance_deg),
+            "poly_id string, geometry_wkb binary",
+        ).persist()  # two consumers (cover + broadcast); avoid re-simplify
+    cells_df = geom.mapInPandas(_cover_batches(res), "cell long, poly_id string")
+    geoms_df = geom.withColumnRenamed("geometry_wkb", "__poly_wkb")
     meta_df = polygons.drop("geometry_wkb")
-    return PolygonIndex(cells_df=cells_df, geoms=geoms, meta_df=meta_df)
+    return PolygonIndex(cells_df=cells_df, geoms_df=geoms_df, meta_df=meta_df)
 
 
-def _make_refine_udf(geoms_bc):
+def _make_refine_udf():
+    # created lazily — pandas_udf parses its DDL return type against the
+    # active SparkSession, so the decorator can't run at import time
     @pandas_udf("boolean")
-    def pip_refine(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    def pip_refine(
+        poly_id: pd.Series, wkb: pd.Series, lon: pd.Series, lat: pd.Series
+    ) -> pd.Series:
         out = np.zeros(len(poly_id), dtype=bool)
         px = lon.to_numpy(dtype=np.float64)
         py = lat.to_numpy(dtype=np.float64)
-        gm = geoms_bc.value
         # group the Arrow batch by polygon so the ray-cast kernel runs
-        # vectorized over all of that polygon's candidate points
-        for pid, idx in poly_id.groupby(poly_id).groups.items():
-            polys = gm.get(pid)
-            if polys is None:
-                continue
+        # vectorized over all of that polygon's candidate points and the
+        # WKB parses once per (batch, polygon)
+        for _, idx in poly_id.groupby(poly_id).groups.items():
             ii = np.asarray(idx)
+            polys = wkb_to_rings(bytes(wkb.iloc[ii[0]]))
             hit = np.zeros(len(ii), dtype=bool)
             for rings in polys:
                 hit |= points_in_polygon(px[ii], py[ii], rings)
@@ -133,9 +192,15 @@ def spatial_join(
             "__cell", cell_col(F.col(lat), F.col(lon), PREFILTER_RES)
         )
         cell = "__cell"
-    refine = _make_refine_udf(index.geoms)
-    candidates = points.join(
-        F.broadcast(index.cells_df), points[cell] == index.cells_df["cell"], "inner"
-    ).drop("cell")
-    out = candidates.filter(refine(F.col("poly_id"), F.col(lon), F.col(lat)))
+    candidates = (
+        points.join(
+            F.broadcast(index.cells_df), points[cell] == index.cells_df["cell"], "inner"
+        )
+        .drop("cell")
+        .join(F.broadcast(index.geoms_df), "poly_id")
+    )
+    refine = _make_refine_udf()
+    out = candidates.filter(
+        refine(F.col("poly_id"), F.col("__poly_wkb"), F.col(lon), F.col(lat))
+    ).drop("__poly_wkb")
     return out.drop("__cell") if "__cell" in out.columns else out
