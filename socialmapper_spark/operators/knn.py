@@ -14,17 +14,19 @@ Two strategies, same results (tested equal):
   for small POI sets (the reference never exceeds ~thousands); this is
   the parity baseline.
 - ``strategy="kring"`` — scale path for large POI sets: POIs are
-  expanded driver-side into all cells within RING k of their own cell;
-  points equi-join that broadcast (cell → poi) table, compute exact
-  distances on candidates only, take per-point top-k. Points with no
-  candidate in k rings fall back to the broadcast path (exactness is
-  never sacrificed — the ring prune is an optimization, not an
-  approximation).
+  expanded *inside the plan* into all cells within RING k of their own
+  cell (pure-Catalyst ``grid_disk_col`` explode — no driver loop, so a
+  million-POI table expands distributed); points equi-join that
+  broadcast (cell → poi) table, compute exact distances on candidates
+  only, take per-point top-k. Points with no candidate in k rings fall
+  back to the broadcast path (exactness is never sacrificed — the ring
+  prune is an optimization, not an approximation).
 
-The Albers (x, y) of the probe side is computed by a vectorized Arrow
-UDF (the only Python in this operator); POI coordinates are projected
-driver-side with the same numpy function, so both sides use one
-definition.
+Both sides' Albers (x, y) are computed by the same vectorized Arrow UDF
+(the only Python in this operator) — one definition, applied in-plan, so
+no coordinate ever round-trips through the driver. The only driver-side
+work is a one-row stats aggregate over the (small) POI table that sizes
+the ring radius.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from socialmapper_spark.geo.albers import albers5070_forward
-from socialmapper_spark.geo.cells import cell_col, cell_np, cell_size_deg, grid_disk
+from socialmapper_spark.geo.cells import cell_col, cell_size_deg, grid_disk_col
 from socialmapper_spark.functions.scalar import KM_TO_MILES
 
 KNN_RES = 7  # candidate cell resolution (~2.2 km edge → ring 2 ≈ 5 km reach)
@@ -55,29 +57,28 @@ def _albers_udf():
     return project
 
 
-def _poi_frame(spark: SparkSession, pois: DataFrame):
-    rows = pois.select("id", "lat", "lon").collect()
-    ids = [r["id"] for r in rows]
-    plat = np.array([r["lat"] for r in rows], dtype=np.float64)
-    plon = np.array([r["lon"] for r in rows], dtype=np.float64)
-    px, py = albers5070_forward(plat, plon)
-    return ids, plat, plon, px, py
+def _poi_stats(poi_sdf: DataFrame) -> tuple[int, float, float]:
+    """One-row aggregate over the (small) POI side: count, bbox area in
+    km², mean |lat|. The only POI information that ever reaches the
+    driver — used to size the ring radius, never the geometry itself."""
+    r = poi_sdf.agg(
+        F.count("*").alias("n"),
+        ((F.max("poi_x") - F.min("poi_x")) * (F.max("poi_y") - F.min("poi_y")) / 1e6).alias("area"),
+        F.avg(F.abs("__poi_lat")).alias("alat"),
+    ).collect()[0]
+    return int(r["n"]), max(float(r["area"] or 0.0), 1.0), float(r["alat"] or 0.0)
 
 
-def _auto_rings(px: np.ndarray, py: np.ndarray, plat: np.ndarray, k: int) -> int:
+def _auto_rings(n: int, area_km2: float, mean_abs_lat: float, k: int) -> int:
     """Ring radius sized from POI density so most probe points find ≥k
     candidates inside the disk (otherwise the exactness fallback brute-
     forces them and the prune buys nothing). Target reach ≈ 2× the radius
     of a circle expected to contain k POIs at the observed density; capped
     so the broadcast (cell → poi) table stays small."""
-    n = len(px)
-    area_km2 = max(
-        (px.max() - px.min()) * (py.max() - py.min()) / 1e6, 1.0
-    )
     density = n / area_km2  # pois per km²
     target_reach_km = 2.0 * float(np.sqrt(k / (np.pi * density)))
     edge_km = (
-        cell_size_deg(KNN_RES) * 110.57 * float(np.cos(np.deg2rad(np.mean(np.abs(plat)))))
+        cell_size_deg(KNN_RES) * 110.57 * float(np.cos(np.deg2rad(mean_abs_lat)))
     )
     rings = int(np.ceil(target_reach_km / max(edge_km, 1e-6)))
     rings = max(1, min(rings, 16))
@@ -111,13 +112,30 @@ def knn_join(
     ring machinery when |POIs| candidates per point is already cheap) and
     the k-ring prune beyond that.
     """
-    ids, plat, plon, px, py = _poi_frame(spark, pois)
-    if strategy == "auto":
-        strategy = "broadcast" if len(ids) <= AUTO_BROADCAST_MAX_POIS else "kring"
-    poi_sdf = spark.createDataFrame(
-        list(zip(ids, [float(v) for v in px], [float(v) for v in py])),
-        "poi_id string, poi_x double, poi_y double",
+    proj = _albers_udf()
+    poi_sdf = (
+        pois.select(
+            F.col("id").alias("poi_id"),
+            F.col("lat").alias("__poi_lat"),
+            F.col("lon").alias("__poi_lon"),
+        )
+        .withColumn("__pxy", proj(F.col("__poi_lat"), F.col("__poi_lon")))
+        .select(
+            "poi_id",
+            F.col("__pxy.x").alias("poi_x"),
+            F.col("__pxy.y").alias("poi_y"),
+            "__poi_lat",
+            "__poi_lon",
+        )
     )
+    poi_xy = poi_sdf.select("poi_id", "poi_x", "poi_y")
+    n_pois = area_km2 = mean_abs_lat = None
+    if strategy == "auto" or (strategy == "kring" and rings is None):
+        # the one driver-side action on the POI side: a 1-row stats agg
+        poi_sdf = poi_sdf.persist()
+        n_pois, area_km2, mean_abs_lat = _poi_stats(poi_sdf)
+    if strategy == "auto":
+        strategy = "broadcast" if n_pois <= AUTO_BROADCAST_MAX_POIS else "kring"
 
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     pts = pts.withColumn("__xy", _albers_udf()(F.col(lat), F.col(lon)))
@@ -162,21 +180,24 @@ def knn_join(
         return out.select(*cols)
 
     if strategy == "broadcast":
-        return finish(pts.crossJoin(F.broadcast(poi_sdf)))
+        return finish(pts.crossJoin(F.broadcast(poi_xy)))
 
     if strategy != "kring":
         raise ValueError(f"unknown strategy {strategy!r}")
 
     # --- k-ring candidate prune -------------------------------------------
     if rings is None:
-        rings = _auto_rings(px, py, plat, k)
-    poi_cells = cell_np(plat, plon, KNN_RES)
-    cell_rows = []
-    for pid, c in zip(ids, poi_cells):
-        for cc in grid_disk(int(c), rings):
-            cell_rows.append((cc, pid))
-    cells_df = spark.createDataFrame(cell_rows, "cell long, poi_id string").join(
-        poi_sdf, "poi_id"
+        rings = _auto_rings(n_pois, area_km2, mean_abs_lat, k)
+    # expand each POI into its ring disk *inside the plan*: pure-Catalyst
+    # array build + explode, distributed over the POI table's partitions —
+    # no driver loop proportional to |POIs|·rings²
+    cells_df = poi_sdf.withColumn(
+        "__pcell", cell_col(F.col("__poi_lat"), F.col("__poi_lon"), KNN_RES)
+    ).select(
+        "poi_id",
+        "poi_x",
+        "poi_y",
+        F.explode(grid_disk_col(F.col("__pcell"), KNN_RES, rings)).alias("cell"),
     )
 
     # pts feeds two consumers (candidate join + the fallback anti-join);
@@ -218,5 +239,5 @@ def knn_join(
     ).select(id_col)
     covered = near.drop("__plat").join(proven, id_col, "left_semi")
     missing = pts.join(proven, id_col, "left_anti")
-    fallback = finish(missing.crossJoin(F.broadcast(poi_sdf)))
+    fallback = finish(missing.crossJoin(F.broadcast(poi_xy)))
     return covered.unionByName(fallback)

@@ -194,3 +194,26 @@ def test_simplified_index_still_assigns_interior_points(spark):
     )
     got = {r["pt_id"] for r in spatial_join(pts, index).collect()}
     assert got == {"in1", "in2"}
+
+
+def test_grid_disk_col_matches_python_twin(spark):
+    """Pure-Catalyst k-ring expansion = the numpy/python grid_disk,
+    including longitude wrap and pole truncation."""
+    from socialmapper_spark.geo.cells import cell_np, grid_disk, grid_disk_col
+
+    pts = [
+        (35.78, -78.64),   # interior
+        (0.0, 179.99),     # anti-meridian wrap
+        (89.9, 10.0),      # near-pole truncation
+        (-89.9, -170.0),   # south pole truncation + wrap
+    ]
+    cells = [int(cell_np(la, lo, 7)) for la, lo in pts]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = {
+        r["cell"]: sorted(r["disk"])
+        for r in df.select(
+            "cell", grid_disk_col(F.col("cell"), 7, 3).alias("disk")
+        ).collect()
+    }
+    for c in cells:
+        assert got[c] == sorted(grid_disk(c, 3)), f"mismatch for cell {c}"
