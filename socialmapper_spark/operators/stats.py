@@ -204,11 +204,57 @@ def quantile_bins(
     census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
 ) -> DataFrame:
     """F16: quantile classification binning (visualization/chloropleth.py:146-160,
-    scheme 'quantiles') as an ``ntile(k)`` window. Ties broken by geoid so
-    both engines assign identical bins.
+    scheme 'quantiles') with exact ``ntile(k)`` semantics, ties broken by
+    geoid so both engines assign identical bins.
+
+    Scale-safe plan — the naive ``ntile`` over an un-partitioned window
+    funnels the whole table through one task; bin-edge values can't
+    reproduce ntile either (a boundary can split a tie group that ntile
+    orders by geoid). Instead, the classic distributed global rank:
+
+      1. ``repartitionByRange`` on (value, geoid) — a parallel range
+         shuffle, the same movement a global sort costs;
+      2. per-partition ``row_number`` (window IS partitioned — by the
+         range-partition id);
+      3. per-partition row counts (a P-row collect) → broadcast prefix
+         offsets → global rank → ntile's bucket arithmetic.
+
+    Every stage is parallel; driver state is one row per shuffle
+    partition.
     """
-    w = Window.orderBy(F.col(variable).asc_nulls_last(), F.col("geoid").asc())
-    return (
+    vals = (
         census_wide.filter(F.col(variable).isNotNull())
-        .select("geoid", F.col(variable).alias("value"), F.ntile(k).over(w).alias("bin"))
+        .select("geoid", F.col(variable).alias("value"))
+    )
+    spark = vals.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = vals.repartitionByRange(
+        num_partitions, F.col("value").asc(), F.col("geoid").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    # two consumers (counts + ranked output) must see identical partition
+    # placement — materialize the range shuffle once
+    parts = parts.persist()
+    sizes = {
+        r["__pid"]: r["count"] for r in parts.groupBy("__pid").count().collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = [], 0
+    for p in sorted(sizes):
+        offsets.append((p, acc))
+        acc += sizes[p]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("value").asc(), F.col("geoid").asc()
+    )
+    rank = F.row_number().over(w) + F.col("__off")  # 1-based global rank
+    q, m = divmod(n, k)
+    cut = m * (q + 1)  # ntile: first m buckets hold q+1 rows, the rest q
+    bin_col = (
+        F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(q + 1)))
+        .otherwise(F.lit(m) + F.ceil((rank - F.lit(cut)) / F.lit(max(q, 1))))
+        .cast("int")
+    )
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .select("geoid", "value", bin_col.alias("bin"))
     )

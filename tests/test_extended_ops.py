@@ -265,3 +265,36 @@ def test_quantile_bins_balanced(spark, geo_small):
     counts = {r["bin"]: r["n"] for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {1, 2, 3, 4, 5}
     assert max(counts.values()) - min(counts.values()) <= 1  # ntile balance
+
+
+def test_quantile_bins_scale_safe_plan_and_ntile_parity(spark):
+    """quantile_bins must not funnel the table through a single task (no
+    un-partitioned window / SinglePartition exchange) yet still reproduce
+    ntile's bucket arithmetic exactly — including boundaries that split a
+    tie group, which value-based bin edges cannot express."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from socialmapper_spark.operators.stats import quantile_bins
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "geoid": [f"g{i:04d}" for i in range(997)],
+            "B19013_001E": np.round(rng.uniform(1, 60, 997), 0),  # heavy ties
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = quantile_bins(df, "B19013_001E", k=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    w = Window.orderBy(F.col("B19013_001E").asc_nulls_last(), F.col("geoid").asc())
+    ref = df.select(
+        "geoid",
+        F.col("B19013_001E").alias("value"),
+        F.ntile(7).over(w).alias("bin"),
+    )
+    got = {r["geoid"]: (r["value"], r["bin"]) for r in out.collect()}
+    exp = {r["geoid"]: (r["value"], r["bin"]) for r in ref.collect()}
+    assert got == exp
