@@ -653,6 +653,105 @@ def q_binary_metadata(spark, sf_dir):
     return binary_metadata(_read_geo(spark, sf_dir, "pages"))
 
 
+def q_zcta_prefix(spark, sf_dir):
+    """S6: prefix-selected ZCTA boundary rows for a state (the engine twin
+    of zcta_service.get_zctas_for_state's prefix fetch)."""
+    from socialmapper_spark.functions.zcta import zctas_for_state
+
+    polys = _read_geo(spark, sf_dir, "polygons")
+    return zctas_for_state(polys, "37").select("poly_id", "GEOID", "STATE")
+
+
+def q_zcta_assignments(spark, sf_dir):
+    """S6: pages assigned to the state's ZCTAs — prefix fetch then the
+    two-phase PIP join (reference flow: fetch boundaries, then points_in_
+    polygon via the geocoder adapters)."""
+    from socialmapper_spark.functions.zcta import zctas_for_state
+    from socialmapper_spark.pipeline import page_assignments
+
+    zctas = zctas_for_state(_read_geo(spark, sf_dir, "polygons"), "37")
+    out = page_assignments(spark, _read_geo(spark, sf_dir, "pages"), zctas)
+    return out.select("url", "poly_id", "GEOID")
+
+
+def q_zcta_cleanse(spark, sf_dir):
+    """S6: ZCTA-level sentinel cleansing (zcta_service.py:352-359 — same
+    rules as block groups, applied to the ZCTA census table)."""
+    from socialmapper_spark.functions.scalar import cleanse_census_value
+
+    cl = _read_geo(spark, sf_dir, "census_zcta_long")
+    return cl.select(
+        "geoid", "variable_code",
+        cleanse_census_value(F.col("variable_code"), F.col("value")).alias("value_clean"),
+    )
+
+
+def q_variable_summary(spark, sf_dir):
+    """P7: demographic summary requested by human-readable variable names,
+    including the calculated percent_without_vehicle expansion."""
+    from socialmapper_spark.operators.census import demographic_summary, pivot_census
+
+    wide = pivot_census(_read_geo(spark, sf_dir, "census_long"))
+    return demographic_summary(
+        wide,
+        ["total_population", "median_household_income", "percent_without_vehicle"],
+    )
+
+
+def q_tag_filter(spark, sf_dir):
+    """S1: POI tag filter over the map-typed tags column (the engine twin
+    of the Overpass tag query: tags[key] == value)."""
+    from socialmapper_spark.sources.custom_coords import read_custom_coordinates
+
+    pois = read_custom_coordinates(spark, f"{_geo(sf_dir)}/custom_coords.csv")
+    return pois.filter(F.col("tags")["city"] == "Durham").select(
+        "id", "lat", "lon", F.col("tags")["city"].alias("city")
+    )
+
+
+def q_speed_clamp(spark, sf_dir):
+    """F15: travel-mode speed validation clamp (travel_modes.py:41-43),
+    mode derived deterministically from the event value."""
+    from socialmapper_spark.functions.travel import clamp_speed_col
+
+    ev = _read(spark, sf_dir, "events")
+    mode = (
+        F.when(F.col("value") < 8.0, F.lit("walk"))
+        .when(F.col("value") < 40.0, F.lit("bike"))
+        .otherwise(F.lit("drive"))
+    )
+    return ev.select(
+        "event_id",
+        mode.alias("travel_mode"),
+        F.col("value").alias("requested_kmh"),
+        clamp_speed_col(mode, F.col("value")).alias("speed_kmh"),
+    )
+
+
+def q_geometry_quarantine(spark, sf_dir):
+    """P4: geometry validity filter — the fixture polygons (all valid)
+    unioned with three injected broken rows; returns per-bucket counts."""
+    from socialmapper_spark.operators.spatial_join import validate_geometries
+
+    polys = _read_geo(spark, sf_dir, "polygons").select("poly_id", "geometry_wkb")
+    broken = spark.createDataFrame(
+        [
+            ("bad_null", None),
+            ("bad_truncated", b"\x01\x03\x00\x00"),
+            ("bad_degenerate", bytes.fromhex(
+                # Polygon with a 2-point ring
+                "0103000000010000000200000000000000000000000000000000000000"
+                "000000000000f03f000000000000f03f"
+            )),
+        ],
+        "poly_id string, geometry_wkb binary",
+    )
+    valid, invalid = validate_geometries(polys.unionByName(broken))
+    return valid.select(F.lit("valid").alias("bucket"), "poly_id").unionByName(
+        invalid.select(F.lit("invalid").alias("bucket"), "poly_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geoparse": q_geoparse,
@@ -707,6 +806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "vectorize_hotspots": q_vectorize_hotspots,
         "lineage_stats": q_lineage_stats,
+        "zcta_prefix": q_zcta_prefix,
+        "zcta_assignments": q_zcta_assignments,
+        "zcta_cleanse": q_zcta_cleanse,
+        "variable_summary": q_variable_summary,
+        "tag_filter": q_tag_filter,
+        "speed_clamp": q_speed_clamp,
+        "geometry_quarantine": q_geometry_quarantine,
     }
 
 
@@ -1116,6 +1222,53 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(props, '$.k') as k_val,
                    json_extract_string(props, '$.missing') as missing_val
             from events
+        """,
+        "zcta_prefix": f"""
+            select poly_id, GEOID, STATE
+            from read_parquet('{g}/polygons.parquet')
+            where kind = 'zcta' and (GEOID like '27%' or GEOID like '28%')
+        """,
+        "zcta_assignments": f"""
+            select url, poly_id, GEOID
+            from read_parquet('{g}/golden_assignments.parquet')
+            where kind = 'zcta' and (GEOID like '27%' or GEOID like '28%')
+        """,
+        "zcta_cleanse": f"""
+            select geoid, variable_code, {_CLEANSE_SQL} as value_clean
+            from read_parquet('{g}/census_zcta_long.parquet')
+        """,
+        "variable_summary": f"""
+            select cast(sum(cast(B01003_001E as decimal(20,6))) as double) as B01003_001E,
+                   cast(sum(cast(B19013_001E as decimal(20,6))) as double)
+                       / count(B19013_001E) as B19013_001E,
+                   cast(sum(cast(B25044_003E as decimal(20,6)))
+                        + sum(cast(B25044_010E as decimal(20,6))) as double)
+                       as percent_without_vehicle
+            from ({wide})
+        """,
+        "tag_filter": f"""
+            select id, cast(latitude as double) as lat, cast(lng as double) as lon,
+                   city
+            from read_csv('{g}/custom_coords.csv', header = true)
+            where latitude is not null and lng is not null and city = 'Durham'
+        """,
+        "speed_clamp": """
+            select event_id,
+                   case when value < 8.0 then 'walk'
+                        when value < 40.0 then 'bike'
+                        else 'drive' end as travel_mode,
+                   value as requested_kmh,
+                   case when value < 8.0 then greatest(3.0, least(value, 7.0))
+                        when value < 40.0 then greatest(8.0, least(value, 30.0))
+                        else greatest(20.0, least(value, 130.0)) end as speed_kmh
+            from events
+        """,
+        "geometry_quarantine": f"""
+            select 'valid' as bucket, poly_id
+            from read_parquet('{g}/polygons.parquet')
+            union all
+            select 'invalid' as bucket, poly_id
+            from (values ('bad_null'), ('bad_truncated'), ('bad_degenerate')) t(poly_id)
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,

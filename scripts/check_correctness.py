@@ -43,16 +43,6 @@ def norm(v):
     return repr(v)
 
 
-def _is_na(x) -> bool:
-    try:
-        import pandas as pd
-
-        return x is None or (not isinstance(x, (list, tuple, dict, bytes, bytearray))
-                             and not hasattr(x, "__len__") and pd.isna(x))
-    except (TypeError, ValueError):
-        return False
-
-
 def main(selected: list[str]) -> int:
     import __spark_entry__ as entrymod
     from socialmapper_spark.session import get_spark
@@ -81,13 +71,13 @@ def main(selected: list[str]) -> int:
                 continue
             res = con.execute(oracles[name])
             oracle_cols = [d[0] for d in res.description]
-            # fetch via pandas like the driver's hasher does — this surfaces
-            # type drift (e.g. HUGEINT -> float64) that fetchall() hides
-            odf = res.df()
-            oracle_rows = [
-                tuple(None if _is_na(x) else x for x in row)
-                for row in odf.itertuples(index=False, name=None)
-            ]
+            # fetch via Arrow like the driver's hasher does — this surfaces
+            # type drift (e.g. HUGEINT -> decimal) that fetchall() hides,
+            # while keeping nullable BIGINT columns integral (which a pandas
+            # fetch would corrupt to float64)
+            tbl = res.fetch_arrow_table()
+            cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            oracle_rows = list(zip(*cols)) if cols else []
             colmap = {c.lower(): i for i, c in enumerate(oracle_cols)}
             exp = sorted(
                 tuple(norm(row[colmap[c.lower()]]) for c in sorted(spark_cols))

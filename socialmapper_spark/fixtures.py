@@ -30,7 +30,7 @@ from socialmapper_spark.geo.pip import points_in_polygon
 from socialmapper_spark.geo.wkb import polygon_to_wkb, wkb_to_rings
 from socialmapper_spark.functions.scalar import KM_TO_MILES
 
-FIXTURE_VERSION = "v6"
+FIXTURE_VERSION = "v7"
 GEO_ROOT = pathlib.Path("/root/repo/data/geo")
 
 # bbox: synthetic NC-like grid (FIXTURES.md §2)
@@ -105,6 +105,40 @@ def _gen_polygons(rng: np.random.Generator, pois: dict) -> tuple[pa.Table, list]
             tmodes.append(None)
             wkbs.append(polygon_to_wkb([ring]))
             polys.append((pid, "blockgroup", geoid, [ring]))
+
+    # ZCTAs (S6): a coarser 0.25° grid over the same region — 6×4 = 24
+    # cells. GEOIDs follow the reference's state→prefix map
+    # (zcta_service.py:65-73): NC ZCTAs start 27/28; the last two cells
+    # deliberately get the South-Carolina prefix 29 so the prefix filter
+    # has rows to exclude. No rng draws here (keeps every other fixture
+    # byte-identical across versions).
+    ZSTEP = 5 * GRID_STEP
+    for iy in range(4):
+        for ix in range(6):
+            lon_a, lat_a = LON0 + ix * ZSTEP, LAT0 + iy * ZSTEP
+            ring = np.array(
+                [
+                    [lon_a, lat_a],
+                    [lon_a + ZSTEP, lat_a],
+                    [lon_a + ZSTEP, lat_a + ZSTEP],
+                    [lon_a, lat_a + ZSTEP],
+                ]
+            )
+            idx = iy * 6 + ix
+            prefix = "29" if idx >= 22 else ("27" if ix < 3 else "28")
+            geoid = f"{prefix}{idx:03d}"
+            pid = f"zcta_{geoid}"
+            ids.append(pid)
+            kinds.append("zcta")
+            geoids.append(geoid)
+            states.append("45" if prefix == "29" else "37")
+            counties.append(None)
+            tracts.append(None)
+            blkgrps.append(None)
+            ttimes.append(None)
+            tmodes.append(None)
+            wkbs.append(polygon_to_wkb([ring]))
+            polys.append((pid, "zcta", geoid, [ring]))
 
     # isochrones: convex hulls of seeded point clouds around the first 5 POIs
     # (reference algorithm: hull of reached nodes, clustering.py:403-418).
@@ -253,43 +287,50 @@ def generate(name: str) -> pathlib.Path:
     pq.write_table(pages, out / "pages.parquet", row_group_size=16384)
 
     # --- census_long --------------------------------------------------------
-    geoids = [p[2] for p in polys if p[1] == "blockgroup"]
-    g_list, c_list, v_list = [], [], []
-    ranges = {
-        "B01003_001E": (500.0, 3000.0),
-        "B19013_001E": (30000.0, 120000.0),
-        "B01002_001E": (25.0, 55.0),
-        "B25044_003E": (0.0, 300.0),
-        "B25044_010E": (0.0, 300.0),
-    }
-    k = 0
-    for g in geoids:
-        for code in VARIABLE_CODES:
-            lo, hi = ranges[code]
-            val = float(np.round(rng.uniform(lo, hi), 1))
-            # deterministic sentinel injection (pins P3 cleansing)
-            if k % 97 == 3:
-                val = -999999999.0
-            elif k % 97 == 11:
-                val = -666666666.0
-            elif k % 97 == 23 and code.startswith("B19"):
-                val = -1.0
-            elif k % 97 == 31:
-                val = -222222222.0
-            g_list.append(g)
-            c_list.append(code)
-            v_list.append(val)
-            k += 1
-    census = pa.table(
-        {
-            "geoid": pa.array(g_list, pa.string()),
-            "variable_code": pa.array(c_list, pa.string()),
-            "value": pa.array(v_list, pa.float64()),
-            "year": pa.array([2023] * len(g_list), pa.int32()),
-            "dataset": pa.array(["acs/acs5"] * len(g_list), pa.string()),
+    def census_table(geoids):
+        g_list, c_list, v_list = [], [], []
+        ranges = {
+            "B01003_001E": (500.0, 3000.0),
+            "B19013_001E": (30000.0, 120000.0),
+            "B01002_001E": (25.0, 55.0),
+            "B25044_003E": (0.0, 300.0),
+            "B25044_010E": (0.0, 300.0),
         }
-    )
-    pq.write_table(census, out / "census_long.parquet")
+        k = 0
+        for g in geoids:
+            for code in VARIABLE_CODES:
+                lo, hi = ranges[code]
+                val = float(np.round(rng.uniform(lo, hi), 1))
+                # deterministic sentinel injection (pins P3 cleansing)
+                if k % 97 == 3:
+                    val = -999999999.0
+                elif k % 97 == 11:
+                    val = -666666666.0
+                elif k % 97 == 23 and code.startswith("B19"):
+                    val = -1.0
+                elif k % 97 == 31:
+                    val = -222222222.0
+                g_list.append(g)
+                c_list.append(code)
+                v_list.append(val)
+                k += 1
+        return pa.table(
+            {
+                "geoid": pa.array(g_list, pa.string()),
+                "variable_code": pa.array(c_list, pa.string()),
+                "value": pa.array(v_list, pa.float64()),
+                "year": pa.array([2023] * len(g_list), pa.int32()),
+                "dataset": pa.array(["acs/acs5"] * len(g_list), pa.string()),
+            }
+        )
+
+    geoids = [p[2] for p in polys if p[1] == "blockgroup"]
+    pq.write_table(census_table(geoids), out / "census_long.parquet")
+
+    # ZCTA-level census values (S6 cleanse twin input, zcta_service.py:352-359)
+    # — generated AFTER census_long so its rng draws leave it unchanged
+    zcta_geoids = [p[2] for p in polys if p[1] == "zcta"]
+    pq.write_table(census_table(zcta_geoids), out / "census_zcta_long.parquet")
 
     # --- goldens (independent brute-force numpy implementation) -------------
     _write_goldens(out, urls, texts, polys, pois)
@@ -636,7 +677,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x2"
+GEO_EXTRA_VERSION = "x3"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -809,7 +850,8 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
         la = round(float(rng.uniform(LAT0, LAT1)), 6)
         lo = round(float(rng.uniform(LON0, LON1)), 6)
         nm = f"Site {i}" if i % 3 else ""  # every 3rd row: name defaulted
-        lines.append(f"p{i:02d},{nm},{la},{lo},Raleigh,{i}")
+        city = "Durham" if i % 4 == 0 else "Raleigh"  # S1 tag filter target
+        lines.append(f"p{i:02d},{nm},{la},{lo},{city},{i}")
     lines.append("p10,No Coords,,,Durham,10")  # dropped by P2 predicate
     (out / "custom_coords.csv").write_text("\n".join(lines) + "\n")
 

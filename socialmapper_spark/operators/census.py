@@ -95,15 +95,28 @@ def demographic_summary(df: DataFrame, variables: list[str] | None = None) -> Da
     - every other variable → sum of non-null
     - all-null → NULL
 
-    Returns a single row with one column per variable (alias = code).
+    Variables may be human-readable names (P7, variable_service.py:99-118):
+    simple names resolve to their code (column alias = code); *calculated*
+    names (percent_without_vehicle → B25044_003E + B25044_010E) emit one
+    column aliased by the requested name, summing the exact-decimal
+    component sums so the result stays bit-identical to a decimal oracle.
+
     Spark's sum/avg already ignore NULLs and return NULL for all-null
     groups, matching pandas dropna semantics here.
     """
+    from socialmapper_spark.functions.variables import normalize_variable
+
     variables = variables or [c for c in DEFAULT_VARIABLES if c in df.columns]
     aggs = []
     for var in variables:
-        if var == "B19013_001E":
-            aggs.append(dmean(var).alias(var))
+        norm = normalize_variable(var)
+        if isinstance(norm, list):
+            total = F.sum(F.col(norm[0]).cast("decimal(20,6)"))
+            for code in norm[1:]:
+                total = total + F.sum(F.col(code).cast("decimal(20,6)"))
+            aggs.append(total.cast("double").alias(var))
+        elif norm == "B19013_001E":
+            aggs.append(dmean(norm).alias(norm))
         else:
-            aggs.append(dsum(var).alias(var))
+            aggs.append(dsum(norm).alias(norm))
     return df.agg(*aggs)

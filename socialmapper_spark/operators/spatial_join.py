@@ -168,6 +168,49 @@ def _make_refine_udf():
     return pip_refine
 
 
+def _make_geom_valid_udf():
+    @pandas_udf("boolean")
+    def geom_valid(wkb: pd.Series) -> pd.Series:
+        out = np.zeros(len(wkb), dtype=bool)
+        for i, b in enumerate(wkb):
+            if b is None:
+                continue
+            try:
+                polys = wkb_to_rings(bytes(b))
+            except Exception:  # malformed WKB: struct errors, bad lengths
+                continue
+            ok = len(polys) > 0
+            for rings in polys:
+                if not rings or rings[0].shape[0] < 3:
+                    ok = False
+                    break
+                if not all(np.isfinite(r).all() for r in rings):
+                    ok = False
+                    break
+            out[i] = ok
+        return pd.Series(out)
+
+    return geom_valid
+
+
+def validate_geometries(
+    polygons: DataFrame, geometry_col: str = "geometry_wkb"
+) -> tuple[DataFrame, DataFrame]:
+    """P4 — (valid, quarantined-invalid) split of a polygon table.
+
+    Reference drops null/invalid geometries before the spatial join
+    (block_group_service.py:230-236 ``geometry.notna() & geometry.is_valid``,
+    same in zcta_service.py:246-252). Without GEOS, 'valid' here means:
+    non-null, parseable WKB, every member polygon has a ≥3-vertex exterior,
+    and all coordinates finite — the failure modes that would crash or
+    silently mis-assign ``wkb_to_rings``/ray-casting downstream. Invalid
+    rows are *returned*, not dropped silently (the quarantine convention
+    of P1 coordinate validation).
+    """
+    ok = _make_geom_valid_udf()(F.col(geometry_col))
+    return polygons.filter(ok), polygons.filter(~ok)
+
+
 def add_cells(df: DataFrame, lat="lat", lon="lon", resolutions=(7, 8, 9)) -> DataFrame:
     """Attach cell_r{res} columns (pure Catalyst, NULL-safe)."""
     for r in resolutions:

@@ -298,3 +298,160 @@ def test_quantile_bins_scale_safe_plan_and_ntile_parity(spark):
     got = {r["geoid"]: (r["value"], r["bin"]) for r in out.collect()}
     exp = {r["geoid"]: (r["value"], r["bin"]) for r in ref.collect()}
     assert got == exp
+
+
+# --- P7 variable normalization ----------------------------------------------
+
+def test_variable_normalization():
+    from socialmapper_spark.functions.variables import (
+        code_to_name,
+        is_calculated_variable,
+        is_census_code,
+        normalize_variable,
+        normalize_variables,
+    )
+
+    assert is_census_code("B01003_001E")
+    assert not is_census_code("b01003_001e")
+    assert not is_census_code("B1003_001E")
+    assert normalize_variable("Total_Population") == "B01003_001E"
+    assert normalize_variable("median_income") == "B19013_001E"
+    # codes pass through untouched, unknown names pass through untouched
+    assert normalize_variable("B99999_001E") == "B99999_001E"
+    assert normalize_variable("custom_thing") == "custom_thing"
+    assert is_calculated_variable("percent_without_vehicle")
+    assert normalize_variable("percent_without_vehicle") == [
+        "B25044_003E",
+        "B25044_010E",
+    ]
+    # expansion + order-preserving dedup (pipeline/census.py:44-58)
+    assert normalize_variables(
+        ["population", "percent_without_vehicle", "B25044_003E", "total_population"]
+    ) == ["B01003_001E", "B25044_003E", "B25044_010E"]
+    assert code_to_name("B19013_001E") in ("median_income", "median_household_income")
+
+
+def test_demographic_summary_accepts_names(spark):
+    from socialmapper_spark.operators.census import demographic_summary
+
+    df = spark.createDataFrame(
+        [(100.0, 50000.0, 10.0, 5.0), (200.0, 70000.0, 20.0, None)],
+        "B01003_001E double, B19013_001E double, B25044_003E double, B25044_010E double",
+    )
+    row = demographic_summary(
+        df, ["total_population", "median_income", "percent_without_vehicle"]
+    ).collect()[0]
+    assert row["B01003_001E"] == 300.0
+    assert row["B19013_001E"] == 60000.0
+    assert row["percent_without_vehicle"] == 35.0  # 30 + 5
+
+
+def test_zcta_prefix_map():
+    import pytest as _pytest
+
+    from socialmapper_spark.functions.zcta import zcta_prefixes_for_state
+
+    assert zcta_prefixes_for_state("37") == ["27", "28"]
+    assert zcta_prefixes_for_state("6") == ["90", "91", "92", "93", "94", "95", "96"]
+    with _pytest.raises(ValueError):
+        zcta_prefixes_for_state("99")
+
+
+# --- F1 haversine (VERDICT r1: implemented but never exercised) --------------
+
+def test_haversine_known_distances(spark):
+    import math
+
+    from socialmapper_spark.functions.scalar import EARTH_RADIUS_KM, haversine_km
+
+    df = spark.createDataFrame(
+        [
+            ("raleigh_durham", 35.7796, -78.6382, 35.9940, -78.8986),
+            ("equator_degree", 0.0, 0.0, 0.0, 1.0),
+            ("same_point", 35.0, -79.0, 35.0, -79.0),
+            ("antipodal", 0.0, 0.0, 0.0, 180.0),
+        ],
+        "name string, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = {
+        r["name"]: r["d"]
+        for r in df.select(
+            "name",
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+        ).collect()
+    }
+    # python twin of the reference formula (clustering.py:185-201)
+    def hav(lat1, lon1, lat2, lon2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+
+    assert got["same_point"] == 0.0
+    assert abs(got["equator_degree"] - math.pi * EARTH_RADIUS_KM / 180.0) < 1e-9
+    assert abs(got["antipodal"] - math.pi * EARTH_RADIUS_KM) < 1e-9
+    assert abs(got["raleigh_durham"] - hav(35.7796, -78.6382, 35.9940, -78.8986)) < 1e-9
+    assert 30.0 < got["raleigh_durham"] < 35.0  # sanity: ~33 km
+
+
+# --- F15 speed clamp ---------------------------------------------------------
+
+def test_speed_clamp_matches_reference_rule(spark):
+    from socialmapper_spark.functions.travel import (
+        TRAVEL_MODE_CONFIGS,
+        clamp_speed_col,
+        clamp_speed_py,
+    )
+
+    rows = [
+        ("walk", 1.0), ("walk", 5.0), ("walk", 99.0),
+        ("bike", 1.0), ("bike", 15.0), ("bike", 50.0),
+        ("drive", 10.0), ("drive", 60.0), ("drive", 200.0),
+        ("rocket", 1000.0),
+    ]
+    df = spark.createDataFrame(rows, "travel_mode string, speed double")
+    got = {
+        (r["travel_mode"], r["speed"]): r["clamped"]
+        for r in df.select(
+            "travel_mode", "speed",
+            clamp_speed_col(F.col("travel_mode"), F.col("speed")).alias("clamped"),
+        ).collect()
+    }
+    for mode, speed in rows:
+        if mode in TRAVEL_MODE_CONFIGS:
+            assert got[(mode, speed)] == clamp_speed_py(mode, speed)
+        else:
+            assert got[(mode, speed)] is None
+
+
+# --- P4 geometry validity ----------------------------------------------------
+
+def test_validate_geometries_quarantine(spark):
+    import numpy as np
+
+    from socialmapper_spark.geo.wkb import polygon_to_wkb
+    from socialmapper_spark.operators.spatial_join import validate_geometries
+
+    good = polygon_to_wkb([np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]])])
+    degenerate = bytes.fromhex(
+        "0103000000010000000200000000000000000000000000000000000000"
+        "000000000000f03f000000000000f03f"
+    )
+    nan_ring = polygon_to_wkb(
+        [np.array([[0.0, 0.0], [float("nan"), 0.0], [0.5, 1.0]])]
+    )
+    df = spark.createDataFrame(
+        [
+            ("ok", bytearray(good)),
+            ("null_geom", None),
+            ("truncated", bytearray(b"\x01\x06\x00")),
+            ("two_point_ring", bytearray(degenerate)),
+            ("nan_coord", bytearray(nan_ring)),
+        ],
+        "poly_id string, geometry_wkb binary",
+    )
+    valid, invalid = validate_geometries(df)
+    assert {r["poly_id"] for r in valid.collect()} == {"ok"}
+    assert {r["poly_id"] for r in invalid.collect()} == {
+        "null_geom", "truncated", "two_point_ring", "nan_coord",
+    }
