@@ -164,11 +164,16 @@ def jaccard_verify(
 
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — vectorized pandas UDF (per-word hashing needs Python;
-# Arrow-batched, no per-row Python at the Spark level)
+# Arrow-batched AND numpy-vectorized inside the batch: md5 runs once per
+# *unique* word, the 64-bit sign accumulation is unpackbits + reduceat)
 # ---------------------------------------------------------------------------
 
 def simhash64_py(text: str | None) -> int:
-    """Signed 64-bit simhash of word unigrams (md5-derived word hashes)."""
+    """Signed 64-bit simhash of word unigrams (md5-derived word hashes).
+
+    Scalar reference twin — golden generation and tests only; the hot
+    path is :func:`simhash64_batch`, which must equal this bit-for-bit.
+    """
     if text is None:
         return 0
     norm = " ".join(text.split()).lower().strip()
@@ -187,10 +192,58 @@ def simhash64_py(text: str | None) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized twin of :func:`simhash64_py` over an iterable of texts.
+
+    All integer ops (no FP), so equality with the scalar twin is exact:
+    md5 per *unique* word in the batch, ``unpackbits`` into a (words, 64)
+    sign matrix, per-document segment sums via ``add.reduceat``, majority
+    bits packed back into a signed int64.
+    """
+    texts = list(texts)
+    out = np.zeros(len(texts), dtype=np.int64)
+    words: list[str] = []
+    doc_rows: list[int] = []
+    doc_lens: list[int] = []
+    for i, t in enumerate(texts):
+        if not isinstance(t, str):
+            continue
+        norm = " ".join(t.split()).lower().strip()
+        if not norm:
+            continue
+        ws = norm.split(" ")
+        words.extend(ws)
+        doc_rows.append(i)
+        doc_lens.append(len(ws))
+    if not words:
+        return out
+    uniq, inv = np.unique(np.array(words, dtype=object), return_inverse=True)
+    # hexdigest[:16] as int == first 8 digest bytes big-endian; reverse the
+    # bytes so unpackbits(bitorder='little') yields bit b = (h >> b) & 1
+    dig = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq)
+    arr = np.frombuffer(dig, dtype=np.uint8).reshape(-1, 8)[:, ::-1]
+    bits = np.unpackbits(arr, axis=1, bitorder="little")  # (U, 64) in {0, 1}
+    lens = np.asarray(doc_lens, dtype=np.int64)
+    ndocs = len(doc_rows)
+    seg = np.repeat(np.arange(ndocs), lens)
+    # per-doc popcount of set bits via bincount (beats add.reduceat on wide
+    # arrays); sum of ±1 signs = 2·ones − n_words. Counts < 2^53 → float64
+    # bincount weights are exact, so the >0 majority test is exact too.
+    bw = bits[inv]  # (W, 64) uint8; bincount casts one column at a time
+    ones = np.empty((ndocs, 64), dtype=np.float64)
+    for b in range(64):
+        ones[:, b] = np.bincount(seg, weights=bw[:, b], minlength=ndocs)
+    sums = 2.0 * ones - lens[:, None]
+    packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
+    vals = np.ascontiguousarray(packed).view("<u8").ravel().view(np.int64)
+    out[np.asarray(doc_rows)] = vals
+    return out
+
+
 def simhash_udf():
     @pandas_udf("long")
     def simhash(text: pd.Series) -> pd.Series:
-        return text.map(simhash64_py).astype("int64")
+        return pd.Series(simhash64_batch(text), index=text.index)
 
     return simhash
 

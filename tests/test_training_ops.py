@@ -93,3 +93,21 @@ def test_binary_metadata_plumbing(spark, geo_small):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_simhash_batch_equals_scalar_twin():
+    """The vectorized kernel must be bit-identical to the scalar twin
+    (golden parity depends on it)."""
+    import numpy as np
+
+    from socialmapper_spark.operators.dedup import simhash64_batch, simhash64_py
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "Gamma", "DELTA", "q", "zz", "ñandú", "東京", "a-b"]
+    texts = [
+        " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), int(rng.integers(0, 25))))
+        for _ in range(300)
+    ] + [None, "", "  \t\n ", "one", "UPPER lower UPPER"]
+    got = simhash64_batch(texts)
+    exp = np.array([simhash64_py(t) for t in texts], dtype=np.int64)
+    assert np.array_equal(got, exp)
