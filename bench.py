@@ -53,53 +53,49 @@ def main() -> None:
     pois = spark.read.parquet(f"{geo}/pois.parquet").filter(F.col("lat") <= 90.0)
     n_pages = pages.count()  # warms the scan / JVM
 
-    queries: dict[str, float] = {}
-
-    # flagship: full pipeline, count() forces execution end to end
-    t, _ = timed(lambda: flagship_query(spark, pages, polygons, census).collect())
-    queries["flagship"] = round(t, 3)
-    flagship_time = t
-
-    # geoparse+cells only (pure-Catalyst hot path)
-    t, _ = timed(lambda: geoparse_pages(pages).filter(F.col("lat").isNotNull()).count())
-    queries["geoparse"] = round(t, 3)
-    geoparse_rate = n_pages / t
-
-    # PIP assignment throughput
-    t, n_assign = timed(
-        lambda: page_assignments(spark, pages, polygons).count()
-    )
-    queries["pip_assignments"] = round(t, 3)
-    pip_rate = n_assign / t
-
-    # kNN (k-ring scale path)
-    t, _ = timed(
-        lambda: knn_join(
-            spark, geoparse_pages(pages), pois, k=1, strategy="kring"
-        ).count()
-    )
-    queries["knn_kring"] = round(t, 3)
-
-    # raster path (vector→raster, pure Catalyst bit math)
+    # raster path import (vector→raster, pure Catalyst bit math)
     from socialmapper_spark.operators.raster import rasterize_counts
 
-    t, _ = timed(lambda: rasterize_counts(geoparse_pages(pages)).count())
-    queries["rasterize"] = round(t, 3)
+    bench_queries = [
+        # flagship: full pipeline, collect() forces execution end to end
+        ("flagship", lambda: flagship_query(spark, pages, polygons, census).collect()),
+        # geoparse+cells only (pure-Catalyst hot path)
+        ("geoparse", lambda: geoparse_pages(pages).filter(F.col("lat").isNotNull()).count()),
+        # PIP assignment throughput
+        ("pip_assignments", lambda: page_assignments(spark, pages, polygons).count()),
+        # kNN (k-ring scale path)
+        ("knn_kring", lambda: knn_join(
+            spark, geoparse_pages(pages), pois, k=1, strategy="kring").count()),
+        ("rasterize", lambda: rasterize_counts(geoparse_pages(pages)).count()),
+        # relational representative
+        ("pricing_summary", lambda: entrymod.q_pricing_summary(spark, sf_dir).collect()),
+    ]
 
-    # relational representative
-    t, _ = timed(lambda: entrymod.q_pricing_summary(spark, sf_dir).collect())
-    queries["pricing_summary"] = round(t, 3)
+    # interleaved best-of-N: the sandbox host has 2-3x run-to-run noise, so
+    # a single pass measures the host, not the engine. Interleaving (round-
+    # robin over queries, best time kept) decorrelates slow host windows
+    # from any one query — the same protocol scripts/bench_scaling.py uses.
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+    queries: dict[str, float] = {name: float("inf") for name, _ in bench_queries}
+    counts: dict[str, int | None] = {}
+    for _ in range(rounds):
+        for name, fn in bench_queries:
+            t, n = timed(fn)
+            queries[name] = min(queries[name], round(t, 3))
+            counts[name] = n if isinstance(n, int) else None
 
+    n_assign = counts["pip_assignments"]
     result = {
         "metric": "pages_per_sec_flagship",
-        "value": round(n_pages / flagship_time, 1),
+        "value": round(n_pages / queries["flagship"], 1),
         "unit": "sec",
         "queries": queries,
         "sf": sf_dir,
         "cpus": cpus,
+        "rounds": rounds,
         "n_pages": n_pages,
-        "pip_assignments_per_sec": round(pip_rate, 1),
-        "geoparse_pages_per_sec": round(geoparse_rate, 1),
+        "pip_assignments_per_sec": round(n_assign / queries["pip_assignments"], 1),
+        "geoparse_pages_per_sec": round(n_pages / queries["geoparse"], 1),
     }
     spark.stop()
     print(json.dumps(result))
