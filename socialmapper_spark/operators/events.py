@@ -117,19 +117,29 @@ def sessionize_stream(
     events_dir: str,
     gap_minutes: int = 30,
     file_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (build mandate): per-user streaming sessionization.
 
     Each user's events are processed by a stateful grouped-map function
-    keyed on user_id; open-session state (last event time, running
-    aggregates) persists in the state store between micro-batches, and a
-    session is emitted when the gap closes it. On the finite test input
-    (one availableNow drain, single micro-batch) every session closes at
-    end of batch, so the output equals the batch :func:`sessionize` plan
-    row-for-row — the parity the tests pin. Aggregation uses the same
-    decimal quantization as ``dsum`` so values are bit-identical.
+    keyed on user_id. The state store holds the user's OPEN session
+    (last event µs, seq, start/end µs, count, value total as an exact
+    micro-scaled long); a session row is emitted only when the gap
+    CLOSES it, so a session spanning micro-batches is never emitted as
+    split fragments. At stream end the still-open sessions are flushed
+    by reading the checkpoint's state store (Spark's State Data Source)
+    and unioned with the closed-session sink — so the result equals the
+    batch :func:`sessionize` plan row-for-row regardless of how many
+    micro-batches the drain used (pinned by a multi-batch test).
+
+    Constraint (documented API boundary): micro-batches must arrive in
+    per-user event-time order (true for time-ordered append logs, and for
+    file streams whose files partition time ranges); NoTimeout state
+    never reorders across batches. Aggregation uses the same decimal
+    quantization as ``dsum`` so values are bit-identical.
     """
+    import tempfile
     from decimal import ROUND_HALF_UP, Decimal
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -139,7 +149,10 @@ def sessionize_stream(
         "user_id long, session_seq long, session_start string, "
         "session_end string, n_events long, total_value double"
     )
-    state_schema = "last_us long, session_seq long"
+    state_schema = (
+        "last_us long, session_seq long, start_us long, end_us long, "
+        "n_events long, total_micro long"
+    )
 
     def proc(key, pdf_iter, state: GroupState):
         import pandas as pd  # noqa: F811
@@ -147,40 +160,36 @@ def sessionize_stream(
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         (user_id,) = key
-        last_us, seq = state.get if state.exists else (None, 0)
+        if state.exists:
+            last_us, seq, start_us, end_us, n, total_micro = state.get
+        else:
+            last_us = None
+            seq = start_us = end_us = n = total_micro = 0
         out = []
-        cur = None  # [start_ts, end_ts, n, Decimal total]
         q6 = Decimal("0.000001")
 
-        def flush():
-            out.append(
-                (
-                    user_id,
-                    seq,
-                    cur[0].strftime("%Y-%m-%d %H:%M:%S.%f"),
-                    cur[1].strftime("%Y-%m-%d %H:%M:%S.%f"),
-                    cur[2],
-                    float(cur[3]),
-                )
-            )
+        def fmt(us):
+            return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
 
         for ts, val in zip(rows["ts"], rows["value"]):
             us = ts.value // 1000  # pandas ns → µs
-            if last_us is None or us - last_us > gap_us:
-                if cur is not None:
-                    flush()
-                seq += 1
-                cur = [ts, ts, 0, Decimal(0)]
-            cur[1] = ts
-            cur[2] += 1
-            cur[3] += Decimal(repr(float(val))).quantize(q6, ROUND_HALF_UP)
+            vmicro = int(
+                Decimal(repr(float(val))).quantize(q6, ROUND_HALF_UP) * 1_000_000
+            )
+            if last_us is None:
+                seq, start_us, end_us, n, total_micro = 1, us, us, 1, vmicro
+            elif us - last_us > gap_us:
+                # the gap closes the open session — emit it now
+                out.append(
+                    (user_id, seq, fmt(start_us), fmt(end_us), n, total_micro / 1e6)
+                )
+                seq, start_us, end_us, n, total_micro = seq + 1, us, us, 1, vmicro
+            else:
+                end_us, n, total_micro = us, n + 1, total_micro + vmicro
             last_us = us
-        if cur is not None:
-            # finite-input drain: the batch ends the stream, so the open
-            # session closes here; a continuous deployment would instead
-            # state.update() and emit on timeout
-            flush()
-        state.update((last_us, seq))
+        # the still-open session stays in state (flushed from the state
+        # store at stream end, or continued by the next micro-batch)
+        state.update((last_us, seq, start_us, end_us, n, total_micro))
         yield pd.DataFrame(
             out,
             columns=[
@@ -190,25 +199,47 @@ def sessionize_stream(
         )
 
     schema = spark.read.option("pathGlobFilter", file_glob).parquet(events_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_glob)
-        .parquet(events_dir)
-        .select("user_id", "event_id", "ts", "value")
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", file_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir).select("user_id", "event_id", "ts", "value")
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     sink = f"events_sessions_{uuid.uuid4().hex[:12]}"
+    checkpoint = tempfile.mkdtemp(prefix="sessionize_ckpt_")
     q = (
         sessions.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # end-of-stream flush: open sessions live in the state store; read them
+    # back with the State Data Source and finish them as closed sessions
+    open_sessions = (
+        spark.read.format("statestore")
+        .load(checkpoint)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.groupState.session_seq").alias("session_seq"),
+            F.date_format(
+                F.timestamp_micros(F.col("value.groupState.start_us")),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("session_start"),
+            F.date_format(
+                F.timestamp_micros(F.col("value.groupState.end_us")),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("session_end"),
+            F.col("value.groupState.n_events").alias("n_events"),
+            (F.col("value.groupState.total_micro").cast("double") / F.lit(1e6)).alias(
+                "total_value"
+            ),
+        )
+    )
+    return spark.table(sink).unionByName(open_sessions)
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -455,3 +455,50 @@ def test_validate_geometries_quarantine(spark):
     assert {r["poly_id"] for r in invalid.collect()} == {
         "null_geom", "truncated", "two_point_ring", "nan_coord",
     }
+
+
+def test_sessionize_stream_multibatch_equals_batch(spark, tmp_path):
+    """Sessions spanning micro-batch boundaries must NOT be emitted as
+    split fragments: events split into 3 time-ordered files drained with
+    maxFilesPerTrigger=1 (3 micro-batches) must equal the batch plan."""
+    import pandas as pd
+
+    from socialmapper_spark.operators.events import sessionize, sessionize_stream
+
+    rng_rows = []
+    # 20 users, sessions deliberately crossing the file split points
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    eid = 0
+    for u in range(20):
+        t = base + pd.Timedelta(minutes=u * 3)
+        for s in range(4):  # 4 sessions per user
+            for k in range(5):  # 5 events, 10 min apart (gap stays open)
+                rng_rows.append((eid, u, t, float(u + s + k) + 0.25))
+                eid += 1
+                t += pd.Timedelta(minutes=10)
+            t += pd.Timedelta(minutes=45)  # close the session (> 30 min)
+    pdf = pd.DataFrame(rng_rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    # 3 time-ordered files; per-user event order follows file order
+    cut = len(pdf) // 3
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, part in enumerate([pdf[:cut], pdf[cut : 2 * cut], pdf[2 * cut :]]):
+        tbl = pa.Table.from_pandas(part, preserve_index=False).set_column(
+            2, "ts", pa.Array.from_pandas(part["ts"]).cast(pa.timestamp("us"))
+        )
+        pq.write_table(tbl, d / f"part{i}.parquet")
+
+    events = spark.createDataFrame(pdf)
+    batch = {tuple(r) for r in sessionize(events).collect()}
+    stream = {
+        tuple(r)
+        for r in sessionize_stream(
+            spark, str(d), file_glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert stream == batch
+    assert len(batch) == 80  # 20 users x 4 sessions
