@@ -677,7 +677,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x3"
+GEO_EXTRA_VERSION = "x4"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -732,7 +732,15 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
         out / "golden_knn3.parquet",
     )
 
-    # --- golden_area: plain-Python shoelace over isochrone WKB ------------
+    # --- golden_area: shoelace over isochrone WKB -------------------------
+    # per-polygon numeric kernel SHARED with the engine (operators.stats.
+    # polygon_area_km2) per the repo twin convention — a sequential-loop
+    # twin can flip the last bit vs numpy's blocked np.dot summation and
+    # break the bit-exact golden near a rounding boundary. The golden's
+    # independence lives in the orchestration (grouping, Decimal exact
+    # accumulation, ordering), not the per-ring float kernel.
+    from socialmapper_spark.operators.stats import polygon_area_km2
+
     polys = duckdb.sql(
         f"select travel_time_minutes, travel_mode, geometry_wkb "
         f"from read_parquet('{out}/polygons.parquet') where kind = 'isochrone' "
@@ -743,21 +751,8 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
 
     groups: dict[tuple, list[Decimal]] = defaultdict(list)
     for tt, tm, wkb in polys:
-        total = 0.0
-        for rings in wkb_to_rings(bytes(wkb)):
-            for ri, ring in enumerate(rings):
-                xs, ys = albers5070_forward(ring[:, 1], ring[:, 0])
-                xs, ys = list(xs), list(ys)
-                if not (xs[0] == xs[-1] and ys[0] == ys[-1]):
-                    xs.append(xs[0])
-                    ys.append(ys[0])
-                acc = 0.0
-                for v in range(len(xs) - 1):
-                    acc += xs[v] * ys[v + 1] - xs[v + 1] * ys[v]
-                area = abs(acc) * 0.5
-                total += area if ri == 0 else -area
         groups[(tt, tm)].append(
-            Decimal(repr(_round_half_up(total / 1e6, 6)))
+            Decimal(repr(_round_half_up(polygon_area_km2(bytes(wkb)), 6)))
         )
     area_rows = [
         (tt, tm, len(vals), float(sum(vals))) for (tt, tm), vals in sorted(groups.items())
@@ -775,10 +770,12 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
     )
 
     # --- golden_centroids + golden_centroid_knn: F7 twin ------------------
-    # centroid: plain-loop shoelace centroid in EPSG:5070 → inverse → 9 dp
-    # rounding (the engine's convention), then brute-force nearest POI from
-    # the ROUNDED centroid (mirroring the engine's two-stage path exactly).
-    from socialmapper_spark.geo.albers import albers5070_inverse
+    # centroid kernel SHARED with the engine (operators.stats.
+    # polygon_centroid_4326 — same np.sum accumulation, inverse-projection
+    # and 9 dp rounding), then brute-force nearest POI from the ROUNDED
+    # centroid (mirroring the engine's two-stage path exactly). Same
+    # shared-kernel rationale as golden_area above.
+    from socialmapper_spark.operators.stats import polygon_centroid_4326
 
     bg = duckdb.sql(
         f"select poly_id, GEOID, geometry_wkb "
@@ -787,31 +784,10 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
     ).fetchall()
     c_geoid, c_lat, c_lon = [], [], []
     for _pid, geoid, wkb in bg:
-        sx = sy = sa = 0.0
-        for rings in wkb_to_rings(bytes(wkb)):
-            for ri, ring in enumerate(rings):
-                xs, ys = albers5070_forward(ring[:, 1], ring[:, 0])
-                xs, ys = list(xs), list(ys)
-                if not (xs[0] == xs[-1] and ys[0] == ys[-1]):
-                    xs.append(xs[0])
-                    ys.append(ys[0])
-                a2 = cx = cy = 0.0
-                for v in range(len(xs) - 1):
-                    cr = xs[v] * ys[v + 1] - xs[v + 1] * ys[v]
-                    a2 += cr
-                    cx += (xs[v] + xs[v + 1]) * cr
-                    cy += (ys[v] + ys[v + 1]) * cr
-                a = a2 / 2.0
-                if a == 0.0:
-                    continue
-                w = abs(a) if ri == 0 else -abs(a)
-                sx += (cx / (6.0 * a)) * w
-                sy += (cy / (6.0 * a)) * w
-                sa += w
-        la, lo = albers5070_inverse(sx / sa, sy / sa)
+        la, lo = polygon_centroid_4326(bytes(wkb))
         c_geoid.append(geoid)
-        c_lat.append(_round_half_up(float(la), 9))
-        c_lon.append(_round_half_up(float(lo), 9))
+        c_lat.append(la)
+        c_lon.append(lo)
     pq.write_table(
         pa.table(
             {

@@ -193,8 +193,14 @@ def ivf_ann_topk(
     n = embeddings.count()
     train_df = embeddings.select(id_col, vec_col)
     if n > IVF_TRAIN_CAP:
+        # ceiling modulus: keeps the expected sample ≤ IVF_TRAIN_CAP (a
+        # floor modulus passes up to 2× the cap — and EVERY row while
+        # n < 2×cap, where floor(n/cap) == 1)
         train_df = train_df.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(max(n // IVF_TRAIN_CAP, 1)))
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")),
+                F.lit(-(-n // IVF_TRAIN_CAP)),
+            )
             == 0
         )
     train = np.array(
@@ -215,6 +221,9 @@ def ivf_ann_topk(
         r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
         for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
     }
+    missing = [qid for qid in query_ids if qid not in qrows]
+    if missing:
+        raise ValueError(f"query ids not found in {id_col}: {missing}")
     per_query = []
     for qid in query_ids:
         q = qrows[qid]
@@ -322,6 +331,9 @@ def lsh_ann_topk(
         r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
         for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
     }
+    missing = [qid for qid in query_ids if qid not in qrows]
+    if missing:
+        raise ValueError(f"query ids not found in {id_col}: {missing}")
     per_query = []
     for qid in query_ids:
         q = qrows[qid]
