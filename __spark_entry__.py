@@ -752,6 +752,69 @@ def q_geometry_quarantine(spark, sf_dir):
     )
 
 
+def _wide(spark, sf_dir):
+    from socialmapper_spark.operators.census import pivot_census
+
+    return pivot_census(_read_geo(spark, sf_dir, "census_long"))
+
+
+def q_std_mean_bins(spark, sf_dir):
+    """F16 std_mean: cuts at mean ± {1,2}·std plus max."""
+    from socialmapper_spark.operators.classify import std_mean_bins
+
+    return std_mean_bins(_wide(spark, sf_dir))
+
+
+def q_percentile_bins(spark, sf_dir):
+    """F16 percentiles: cuts at [1,10,50,90,99,100] exact percentiles."""
+    from socialmapper_spark.operators.classify import percentile_bins
+
+    return percentile_bins(_wide(spark, sf_dir))
+
+
+def q_box_plot_bins(spark, sf_dir):
+    """F16 box_plot: quartiles ± 1.5·IQR fences."""
+    from socialmapper_spark.operators.classify import box_plot_bins
+
+    return box_plot_bins(_wide(spark, sf_dir))
+
+
+def q_defined_interval_bins(spark, sf_dir):
+    """F16 defined_interval — the reference resolves it to quantiles
+    (chloropleth.py:146-149)."""
+    from socialmapper_spark.operators.classify import defined_interval_bins
+
+    return defined_interval_bins(_wide(spark, sf_dir))
+
+
+def q_maximum_breaks_bins(spark, sf_dir):
+    """F16 maximum_breaks: midpoints of the 4 largest sorted-value gaps."""
+    from socialmapper_spark.operators.classify import maximum_breaks_bins
+
+    return maximum_breaks_bins(_wide(spark, sf_dir))
+
+
+def q_head_tail_bins(spark, sf_dir):
+    """F16 head_tail_breaks: iterated mean splits (golden-parquet oracle)."""
+    from socialmapper_spark.operators.classify import head_tail_bins
+
+    return head_tail_bins(_wide(spark, sf_dir))
+
+
+def q_fisher_jenks_bins(spark, sf_dir):
+    """F16 fisher_jenks: exact 1-D DP classification (golden oracle)."""
+    from socialmapper_spark.operators.classify import fisher_jenks_bins
+
+    return fisher_jenks_bins(_wide(spark, sf_dir))
+
+
+def q_natural_breaks_bins(spark, sf_dir):
+    """F16 natural_breaks: deterministic 1-D k-means (golden oracle)."""
+    from socialmapper_spark.operators.classify import natural_breaks_bins
+
+    return natural_breaks_bins(_wide(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geoparse": q_geoparse,
@@ -813,6 +876,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_filter": q_tag_filter,
         "speed_clamp": q_speed_clamp,
         "geometry_quarantine": q_geometry_quarantine,
+        "std_mean_bins": q_std_mean_bins,
+        "percentile_bins": q_percentile_bins,
+        "box_plot_bins": q_box_plot_bins,
+        "defined_interval_bins": q_defined_interval_bins,
+        "maximum_breaks_bins": q_maximum_breaks_bins,
+        "head_tail_bins": q_head_tail_bins,
+        "fisher_jenks_bins": q_fisher_jenks_bins,
+        "natural_breaks_bins": q_natural_breaks_bins,
     }
 
 
@@ -1269,6 +1340,74 @@ def oracle_sql() -> dict[str, str]:
             union all
             select 'invalid' as bucket, poly_id
             from (values ('bad_null'), ('bad_truncated'), ('bad_degenerate')) t(poly_id)
+        """,
+        "std_mean_bins": f"""
+            with v as (select geoid, B19013_001E as value from ({wide})
+                       where B19013_001E is not null),
+            st as (select cast(sum(cast(value as decimal(20,6))) as double) as s,
+                          cast(sum(cast(round(value*value, 6) as decimal(30,6))) as double) as s2,
+                          count(*) as n, max(value) as mx from v),
+            c as (select s/n as m, sqrt(s2/n - (s/n)*(s/n)) as sd, mx from st)
+            select geoid, value,
+                   least(1 + cast(value > m - 2*sd as int) + cast(value > m - sd as int)
+                           + cast(value > m + sd as int) + cast(value > m + 2*sd as int),
+                         case when mx > m + 2*sd then 5 else 4 end) as bin
+            from v, c
+        """,
+        "percentile_bins": f"""
+            with v as (select geoid, B19013_001E as value from ({wide})
+                       where B19013_001E is not null),
+            q as (select quantile_cont(value, [0.01,0.10,0.50,0.90,0.99,1.00]) as qs from v)
+            select geoid, value,
+                   least(1 + cast(value > qs[1] as int) + cast(value > qs[2] as int)
+                           + cast(value > qs[3] as int) + cast(value > qs[4] as int)
+                           + cast(value > qs[5] as int) + cast(value > qs[6] as int),
+                         6) as bin
+            from v, q
+        """,
+        "box_plot_bins": f"""
+            with v as (select geoid, B19013_001E as value from ({wide})
+                       where B19013_001E is not null),
+            q as (select quantile_cont(value, [0.25,0.50,0.75]) as qs, max(value) as mx from v),
+            c as (select qs[1] - 1.5*(qs[3]-qs[1]) as c1, qs[1] as c2, qs[2] as c3,
+                         qs[3] as c4, qs[3] + 1.5*(qs[3]-qs[1]) as c5, mx from q)
+            select geoid, value,
+                   least(1 + cast(value > c1 as int) + cast(value > c2 as int)
+                           + cast(value > c3 as int) + cast(value > c4 as int)
+                           + cast(value > c5 as int)
+                           + case when mx > c5 then cast(value > mx as int) else 0 end,
+                         case when mx > c5 then 6 else 5 end) as bin
+            from v, c
+        """,
+        "defined_interval_bins": f"""
+            select geoid, B19013_001E as value,
+                   ntile(5) over (order by B19013_001E asc, geoid asc) as bin
+            from ({wide}) where B19013_001E is not null
+        """,
+        "maximum_breaks_bins": f"""
+            with v as (select geoid, B19013_001E as value from ({wide})
+                       where B19013_001E is not null),
+            d as (select distinct value from v),
+            g as (select value, lag(value) over (order by value) as prev from d),
+            topg as (select (value + prev)/2.0 as mid from g where prev is not null
+                     order by (value - prev) desc, value desc limit 4),
+            c as (select list(mid order by mid) || [(select max(value) from v)] as cs
+                  from topg)
+            select geoid, value,
+                   least(1 + len(list_filter(cs, x -> value > x)), len(cs)) as bin
+            from v, c
+        """,
+        "head_tail_bins": f"""
+            select geoid, value, bin from read_parquet('{g}/golden_classify.parquet')
+            where scheme = 'head_tail'
+        """,
+        "fisher_jenks_bins": f"""
+            select geoid, value, bin from read_parquet('{g}/golden_classify.parquet')
+            where scheme = 'fisher_jenks'
+        """,
+        "natural_breaks_bins": f"""
+            select geoid, value, bin from read_parquet('{g}/golden_classify.parquet')
+            where scheme = 'natural_breaks'
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,

@@ -677,7 +677,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x4"
+GEO_EXTRA_VERSION = "x5"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -817,6 +817,102 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
             }
         ),
         out / "golden_centroid_knn.parquet",
+    )
+
+    # --- golden_classify: F16 schemes with no SQL-expressible oracle ------
+    # (head_tail / fisher_jenks / natural_breaks). Cut computation SHARES
+    # the engine's 1-D kernels (the repo shared-kernel twin convention —
+    # see golden_area above); the golden independently re-derives the
+    # cleansed wide values via DuckDB SQL and assigns bins with bisect
+    # instead of the engine's Catalyst comparison chain.
+    from bisect import bisect_left
+    from decimal import ROUND_HALF_UP
+
+    from socialmapper_spark.operators.classify import (
+        _fisher_jenks_cuts,
+    )
+
+    wide_rows = duckdb.sql(
+        f"""
+        select * from (
+            select geoid, max(case when variable_code = 'B19013_001E' then
+                (case when value in (-999999999.0,-888888888.0,-666666666.0,
+                                     -555555555.0,-222222222.0,-111111111.0) then null
+                      when value < 0 then null
+                      when value < -100000 then null
+                      else value end) end) as value
+            from read_parquet('{out}/census_long.parquet')
+            group by geoid
+        ) where value is not null order by geoid
+        """
+    ).fetchall()
+    cg, cv = [r[0] for r in wide_rows], [float(r[1]) for r in wide_rows]
+
+    def ht_cuts(values, max_iter=32):
+        q6d = Decimal("0.000001")
+        cuts, cur = [], list(values)
+        for _ in range(max_iter):
+            if not cur or max(cur) == min(cur):
+                break
+            s = sum(
+                (Decimal(repr(v)).quantize(q6d, ROUND_HALF_UP) for v in cur),
+                Decimal(0),
+            )
+            m = float(s) / len(cur)
+            cuts.append(m)
+            cur = [v for v in cur if v > m]
+        mx = max(values)
+        if not cuts or mx > cuts[-1]:
+            cuts.append(mx)
+        return cuts
+
+    uniq_v, uniq_c = np.unique(np.asarray(cv), return_counts=True)
+    fj = _fisher_jenks_cuts(uniq_v, uniq_c.astype(np.float64), 5)
+
+    def nb_cuts(values, counts, k=5, max_iter=100):
+        # deterministic 1-D k-means — same seeding/update as the engine
+        cum = np.cumsum(counts)
+        targets = (np.arange(1, k + 1) - 0.5) / k * cum[-1]
+        cent = np.unique(values[np.searchsorted(cum, targets)])
+        for _ in range(max_iter):
+            bounds = (cent[:-1] + cent[1:]) / 2.0
+            lab = np.searchsorted(bounds, values, side="right")
+            new = np.array(
+                [
+                    np.average(values[lab == c], weights=counts[lab == c])
+                    for c in range(len(cent))
+                    if np.any(lab == c)
+                ]
+            )
+            if len(new) == len(cent) and np.allclose(new, cent, rtol=0, atol=0):
+                break
+            cent = np.unique(new)
+        bounds = (cent[:-1] + cent[1:]) / 2.0
+        lab = np.searchsorted(bounds, values, side="right")
+        return sorted(float(values[lab == c].max()) for c in np.unique(lab))
+
+    cls_scheme, cls_g, cls_v, cls_b = [], [], [], []
+    for scheme, cuts in [
+        ("head_tail", ht_cuts(cv)),
+        ("fisher_jenks", [float(c) for c in fj]),
+        ("natural_breaks", nb_cuts(uniq_v, uniq_c.astype(np.float64))),
+    ]:
+        kk = len(cuts)
+        for gid, v in zip(cg, cv):
+            cls_scheme.append(scheme)
+            cls_g.append(gid)
+            cls_v.append(v)
+            cls_b.append(min(bisect_left(cuts, v) + 1, kk))
+    pq.write_table(
+        pa.table(
+            {
+                "scheme": pa.array(cls_scheme, pa.string()),
+                "geoid": pa.array(cls_g, pa.string()),
+                "value": pa.array(cls_v, pa.float64()),
+                "bin": pa.array(cls_b, pa.int32()),
+            }
+        ),
+        out / "golden_classify.parquet",
     )
 
     # --- custom_coords.csv: S3 tolerant-reader fixture --------------------

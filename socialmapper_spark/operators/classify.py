@@ -1,0 +1,367 @@
+"""F16 — classification binning schemes (choropleth class breaks).
+
+Reference: socialmapper/visualization/config.py:50-65 enumerates 13
+``ClassificationScheme``s and chloropleth.py:146-160 resolves them (via
+geopandas → mapclassify). Two are already first-class operators
+(``quantiles`` → stats.quantile_bins, ``equal_interval`` →
+stats.equal_interval_bins); this module adds the rest of the well-defined
+set, each re-derived from the published mapclassify semantics (upper-
+bound-inclusive bins: class of y = index of first cut ≥ y).
+
+Spark-first shapes — every scheme is "compute k-ish cuts with a bounded
+aggregate, broadcast, assign by comparison":
+
+- ``std_mean``      — one exact-decimal (mean, variance) aggregate.
+- ``percentiles`` / ``box_plot`` — exact percentile cuts from the
+  distributed-global-rank machinery (range shuffle + partition offsets;
+  no single-reducer window), linear interpolation at fractional ranks.
+- ``maximum_breaks`` — per-partition neighbor gaps after a range
+  shuffle (plus the P-1 cross-partition boundary gaps from a tiny
+  driver exchange), top-(k-1) gap midpoints.
+- ``head_tail_breaks`` — iterated filtered means (one 1-row aggregate
+  per iteration, ≤ log-ish iterations on heavy-tailed data).
+- ``fisher_jenks`` — exact O(k·U²) DP on the *distinct-value histogram*
+  (U = distinct values, weighted by count) collected to the driver;
+  ``fisher_jenks_sampled`` caps U with a deterministic hash sample the
+  way mapclassify's sampled variant does.
+- ``natural_breaks`` — deterministic 1-D k-means (quantile seeding +
+  Lloyd to convergence) over the same histogram. mapclassify's version
+  is randomized (KMeans n_init=10); a deterministic twin is the only
+  testable choice, documented divergence.
+- ``defined_interval`` — the reference itself FALLS BACK to quantiles
+  for this scheme (chloropleth.py:146-149); parity means doing the same.
+- ``jenks_caspall`` / ``max_p_classifier`` — not implemented (iterative
+  reassignment heuristics with tie-breaking mapclassify does not pin;
+  SURVEY.md scopes them out as viz-only).
+
+Output convention matches stats.quantile_bins: (geoid, value, bin) with
+1-based bins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from socialmapper_spark.operators.stats import quantile_bins
+
+
+# ---------------------------------------------------------------------------
+# shared machinery
+# ---------------------------------------------------------------------------
+
+def _vals(census_wide: DataFrame, variable: str) -> DataFrame:
+    return census_wide.filter(F.col(variable).isNotNull()).select(
+        "geoid", F.col(variable).alias("value")
+    )
+
+
+def _assign(vals: DataFrame, cuts: list[float]) -> DataFrame:
+    """mapclassify bin1d: class of y = first cut ≥ y (1-based), clamped."""
+    k = len(cuts)
+    bin0 = sum(
+        (F.col("value") > F.lit(float(c))).cast("int") for c in cuts
+    )
+    return vals.select(
+        "geoid", "value", F.least(bin0 + 1, F.lit(k)).alias("bin")
+    )
+
+
+def _ranked(vals: DataFrame):
+    """Distributed global rank over (value, geoid): range shuffle →
+    per-partition row_number + broadcast prefix offsets. Returns
+    (ranked_df with __rank, n). Same scale-safe shape as quantile_bins."""
+    spark = vals.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = vals.repartitionByRange(
+        num_partitions, F.col("value").asc(), F.col("geoid").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    parts = parts.persist()
+    sizes = {r["__pid"]: r["count"] for r in parts.groupBy("__pid").count().collect()}
+    n = sum(sizes.values())
+    offsets, acc = [], 0
+    for p in sorted(sizes):
+        offsets.append((p, acc))
+        acc += sizes[p]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(F.col("value").asc(), F.col("geoid").asc())
+    ranked = parts.join(F.broadcast(off_df), "__pid").withColumn(
+        "__rank", F.row_number().over(w) + F.col("__off")
+    )
+    return ranked, n
+
+
+def _percentile_cuts(ranked, n: int, pcts: list[float]) -> list[float]:
+    """Exact percentiles (numpy 'linear' interpolation) from global ranks:
+    value at fractional rank h=(n-1)·p/100 interpolates its two
+    neighbors. Collects ≤ 2·len(pcts) rows."""
+    needed: set[int] = set()
+    marks = []
+    for p in pcts:
+        h = (n - 1) * p / 100.0
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        marks.append((h, lo, hi))
+        needed.update((lo + 1, hi + 1))
+    at = {
+        r["__rank"]: r["value"]
+        for r in ranked.filter(F.col("__rank").isin(list(needed)))
+        .select("__rank", "value")
+        .collect()
+    }
+    cuts = []
+    for h, lo, hi in marks:
+        vlo, vhi = at[lo + 1], at[hi + 1]
+        cuts.append(float(vlo + (h - lo) * (vhi - vlo)))
+    return cuts
+
+
+def _distinct_hist(vals: DataFrame, sample_cap: int | None = None):
+    """(values, counts) of the distinct-value histogram, driver-side.
+    The aggregate is distributed; only U distinct rows are collected —
+    the bounded prep a 1-D optimal classifier needs. ``sample_cap``
+    hash-samples rows first (fisher_jenks_sampled; deterministic)."""
+    df = vals
+    if sample_cap is not None:
+        n = df.count()
+        if n > sample_cap:
+            df = df.filter(
+                F.pmod(F.xxhash64(F.col("geoid").cast("string")), F.lit(-(-n // sample_cap))) == 0
+            )
+    rows = df.groupBy("value").count().orderBy("value").collect()
+    return (
+        np.array([r["value"] for r in rows], dtype=np.float64),
+        np.array([r["count"] for r in rows], dtype=np.float64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# schemes
+# ---------------------------------------------------------------------------
+
+def std_mean_bins(
+    census_wide: DataFrame,
+    variable: str = "B19013_001E",
+    multiples: tuple[float, ...] = (-2.0, -1.0, 1.0, 2.0),
+) -> DataFrame:
+    """StdMean: cuts at mean + m·std (population std), plus the max.
+
+    Exactness across engines: mean and E[x²] come from exact decimal sums
+    (values pre-rounded to 6 dp), so the double arithmetic
+    ``sqrt(sumsq/n − mean²)`` is bit-identical to the DuckDB twin."""
+    vals = _vals(census_wide, variable)
+    row = vals.agg(
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("s2"),
+        F.count("*").alias("n"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    n = row["n"]
+    mean = row["s"] / n
+    std = float(np.sqrt(row["s2"] / n - mean * mean))
+    cuts = [mean + m * std for m in multiples]
+    if row["mx"] > cuts[-1]:
+        cuts.append(float(row["mx"]))
+    return _assign(vals, cuts)
+
+
+def percentile_bins(
+    census_wide: DataFrame,
+    variable: str = "B19013_001E",
+    pcts: tuple[float, ...] = (1.0, 10.0, 50.0, 90.0, 99.0, 100.0),
+) -> DataFrame:
+    """Percentiles: cuts at the given percentiles (mapclassify default
+    [1, 10, 50, 90, 99, 100])."""
+    vals = _vals(census_wide, variable)
+    ranked, n = _ranked(vals)
+    cuts = _percentile_cuts(ranked, n, list(pcts))
+    return _assign(ranked, cuts)
+
+
+def box_plot_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", hinge: float = 1.5
+) -> DataFrame:
+    """BoxPlot: [q25 − h·IQR, q25, q50, q75, q75 + h·IQR] (+max if any
+    high outliers) — 5 or 6 classes."""
+    vals = _vals(census_wide, variable)
+    ranked, n = _ranked(vals)
+    q25, q50, q75 = _percentile_cuts(ranked, n, [25.0, 50.0, 75.0])
+    iqr = q75 - q25
+    cuts = [q25 - hinge * iqr, q25, q50, q75, q75 + hinge * iqr]
+    mx = vals.agg(F.max("value")).collect()[0][0]
+    if mx > cuts[-1]:
+        cuts.append(float(mx))
+    return _assign(ranked, cuts)
+
+
+def defined_interval_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
+) -> DataFrame:
+    """DefinedInterval — the reference resolves this scheme to QUANTILES
+    (chloropleth.py:146-149); parity reproduces that fallback."""
+    return quantile_bins(census_wide, variable, k)
+
+
+def maximum_breaks_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
+) -> DataFrame:
+    """MaximumBreaks: cuts at the midpoints of the k−1 largest gaps
+    between consecutive sorted values, plus the max.
+
+    Distributed: gaps computed per range-partition with a partitioned lag
+    window; the P−1 cross-partition boundary gaps come from a P-row
+    driver exchange (per-partition min/max). Gap ties break toward the
+    larger value (deterministic; mapclassify's argsort order)."""
+    vals = _vals(census_wide, variable)
+    ranked, _ = _ranked(vals)
+    w = Window.partitionBy("__pid").orderBy(F.col("value").asc(), F.col("geoid").asc())
+    lagged = ranked.withColumn("__prev", F.lag("value").over(w))
+    in_gaps = (
+        lagged.filter(F.col("__prev").isNotNull() & (F.col("value") > F.col("__prev")))
+        .select("value", "__prev")
+        .withColumn("__gap", F.col("value") - F.col("__prev"))
+        .orderBy(F.col("__gap").desc(), F.col("value").desc())
+        .limit(k - 1)
+        .collect()
+    )
+    # cross-partition boundary gaps: P rows of (pid, min, max)
+    edges = (
+        ranked.groupBy("__pid")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .orderBy("__pid")
+        .collect()
+    )
+    gaps = [(r["__gap"], r["value"], r["__prev"]) for r in in_gaps]
+    for a, b in zip(edges, edges[1:]):
+        if b["lo"] > a["hi"]:
+            gaps.append((b["lo"] - a["hi"], b["lo"], a["hi"]))
+    gaps.sort(key=lambda t: (-t[0], -t[1]))
+    cuts = sorted((prev + val) / 2.0 for _, val, prev in gaps[: k - 1])
+    mx = max(e["hi"] for e in edges) if edges else 0.0
+    cuts.append(float(mx))
+    return _assign(ranked, cuts)
+
+
+def head_tail_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", max_iter: int = 32
+) -> DataFrame:
+    """HeadTailBreaks (Jiang 2013): cut at the mean, recurse on the head
+    (values above the mean) while it keeps splitting; final cut = max.
+
+    Each iteration is one exact-decimal 1-row aggregate over the
+    shrinking head — a driver loop of distributed jobs, never a
+    single-task plan."""
+    vals = _vals(census_wide, variable).persist()
+    cuts: list[float] = []
+    head = vals
+    for _ in range(max_iter):
+        row = head.agg(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+            F.max("value").alias("mx"),
+            F.min("value").alias("mn"),
+        ).collect()[0]
+        if row["n"] == 0 or row["mx"] == row["mn"]:
+            break
+        m = row["s"] / row["n"]
+        cuts.append(float(m))
+        head = head.filter(F.col("value") > F.lit(float(m)))
+    mx = vals.agg(F.max("value")).collect()[0][0]
+    if mx is not None and (not cuts or mx > cuts[-1]):
+        cuts.append(float(mx))
+    return _assign(vals, cuts)
+
+
+def _fisher_jenks_cuts(values: np.ndarray, counts: np.ndarray, k: int) -> list[float]:
+    """Exact Fisher-Jenks DP on a weighted distinct-value histogram:
+    minimize within-class sum of squared deviations. Vectorized inner
+    loop; O(k·U²) time, O(k·U) memory."""
+    u = len(values)
+    k = min(k, u)
+    cw = np.concatenate([[0.0], np.cumsum(counts)])
+    cwx = np.concatenate([[0.0], np.cumsum(counts * values)])
+    cwx2 = np.concatenate([[0.0], np.cumsum(counts * values * values)])
+
+    def seg_cost(a: np.ndarray, b: int) -> np.ndarray:
+        # cost of classes spanning values[a..b] inclusive (a vectorized)
+        w = cw[b + 1] - cw[a]
+        s = cwx[b + 1] - cwx[a]
+        s2 = cwx2[b + 1] - cwx2[a]
+        return s2 - s * s / w
+
+    D = np.full((k + 1, u), np.inf)
+    B = np.zeros((k + 1, u), dtype=np.int64)
+    D[1] = cwx2[1:] - cwx[1:] * cwx[1:] / cw[1:]  # cost of values[0..i]
+    for j in range(2, k + 1):
+        for i in range(j - 1, u):
+            ms = np.arange(j - 2, i)  # last index of previous class
+            c = D[j - 1][ms] + seg_cost(ms + 1, i)
+            am = int(np.argmin(c))
+            D[j][i] = c[am]
+            B[j][i] = ms[am] + 1
+    # backtrack: class upper-bound values
+    cuts = [float(values[u - 1])]
+    i, j = u - 1, k
+    while j > 1:
+        start = B[j][i]
+        cuts.append(float(values[start - 1]))
+        i, j = start - 1, j - 1
+    return sorted(cuts)
+
+
+def fisher_jenks_bins(
+    census_wide: DataFrame,
+    variable: str = "B19013_001E",
+    k: int = 5,
+    sample_cap: int | None = None,
+) -> DataFrame:
+    """FisherJenks: optimal 1-D classification (exact DP). Pass
+    ``sample_cap`` for the FISHER_JENKS_SAMPLED variant (deterministic
+    hash sample bounds the histogram the way mapclassify's sampled
+    classifier bounds its input)."""
+    vals = _vals(census_wide, variable)
+    values, counts = _distinct_hist(vals, sample_cap)
+    cuts = _fisher_jenks_cuts(values, counts, k)
+    return _assign(vals, cuts)
+
+
+def natural_breaks_bins(
+    census_wide: DataFrame,
+    variable: str = "B19013_001E",
+    k: int = 5,
+    max_iter: int = 100,
+) -> DataFrame:
+    """NaturalBreaks: 1-D k-means over the distinct-value histogram —
+    deterministic variant (quantile seeding + Lloyd until fixed point;
+    mapclassify's randomized KMeans cannot be pinned by a test). Cuts =
+    per-class maxima, like mapclassify's NaturalBreaks bins."""
+    vals = _vals(census_wide, variable)
+    values, counts = _distinct_hist(vals)
+    u = len(values)
+    k = min(k, u)
+    # quantile seeding on the weighted histogram
+    cum = np.cumsum(counts)
+    targets = (np.arange(1, k + 1) - 0.5) / k * cum[-1]
+    cent = values[np.searchsorted(cum, targets)]
+    cent = np.unique(cent)
+    for _ in range(max_iter):
+        # assign each distinct value to nearest centroid (1-D: boundaries
+        # are centroid midpoints)
+        bounds = (cent[:-1] + cent[1:]) / 2.0
+        lab = np.searchsorted(bounds, values, side="right")
+        new = np.array(
+            [
+                np.average(values[lab == c], weights=counts[lab == c])
+                for c in range(len(cent))
+                if np.any(lab == c)
+            ]
+        )
+        if len(new) == len(cent) and np.allclose(new, cent, rtol=0, atol=0):
+            break
+        cent = np.unique(new)
+    bounds = (cent[:-1] + cent[1:]) / 2.0
+    lab = np.searchsorted(bounds, values, side="right")
+    cuts = sorted(float(values[lab == c].max()) for c in np.unique(lab))
+    return _assign(vals, cuts)

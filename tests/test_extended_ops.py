@@ -502,3 +502,63 @@ def test_sessionize_stream_multibatch_equals_batch(spark, tmp_path):
     }
     assert stream == batch
     assert len(batch) == 80  # 20 users x 4 sessions
+
+
+# --- F16 classification schemes ----------------------------------------------
+
+def test_fisher_jenks_dp_optimal():
+    """DP cuts must match brute-force optimal within-class SSQ partition."""
+    import numpy as np
+    from itertools import combinations
+
+    from socialmapper_spark.operators.classify import _fisher_jenks_cuts
+
+    rng = np.random.default_rng(9)
+    vals = np.sort(np.round(rng.uniform(0, 100, 14), 1))
+    u, c = np.unique(vals, return_counts=True)
+    cuts = _fisher_jenks_cuts(u, c.astype(float), 4)
+
+    def ssq(groups):
+        return sum(((np.asarray(g) - np.mean(g)) ** 2).sum() for g in groups if len(g))
+
+    best = None
+    for idx in combinations(range(1, len(vals)), 3):
+        parts_ = np.split(vals, idx)
+        s = ssq(parts_)
+        if best is None or s < best:
+            best = s
+    got = ssq(np.split(vals, np.searchsorted(vals, cuts[:-1], side="right")))
+    assert abs(got - best) < 1e-9
+
+
+def test_classification_schemes_partition_everything(spark, geo_small):
+    """Every scheme must assign every non-null row exactly one bin in
+    [1, k], and together the bins must cover the table."""
+    from socialmapper_spark.operators import classify as C
+    from socialmapper_spark.operators.census import pivot_census
+
+    wide = pivot_census(spark.read.parquet(f"{geo_small}/census_long.parquet"))
+    n = wide.filter(F.col("B19013_001E").isNotNull()).count()
+    for fn, kmax in [
+        (C.std_mean_bins, 5),
+        (C.percentile_bins, 6),
+        (C.box_plot_bins, 6),
+        (C.maximum_breaks_bins, 5),
+        (C.fisher_jenks_bins, 5),
+        (C.natural_breaks_bins, 5),
+        (C.defined_interval_bins, 5),
+    ]:
+        rows = fn(wide).collect()
+        assert len(rows) == n, fn.__name__
+        assert all(1 <= r["bin"] <= kmax for r in rows), fn.__name__
+
+
+def test_fisher_jenks_sampled_caps_histogram(spark, geo_small):
+    from socialmapper_spark.operators import classify as C
+    from socialmapper_spark.operators.census import pivot_census
+
+    wide = pivot_census(spark.read.parquet(f"{geo_small}/census_long.parquet"))
+    out = C.fisher_jenks_bins(wide, sample_cap=100)
+    n = wide.filter(F.col("B19013_001E").isNotNull()).count()
+    assert out.count() == n  # assignment still covers every row
+    assert out.agg(F.max("bin")).collect()[0][0] <= 5
