@@ -752,6 +752,40 @@ def q_geometry_quarantine(spark, sf_dir):
     )
 
 
+def q_neighbor_states(spark, sf_dir):
+    """Neighbors API: polygons in states adjacent to South Carolina ('45'
+    → NC + GA; fixture has NC rows) via the broadcast adjacency filter."""
+    from socialmapper_spark.functions.neighbors import filter_to_neighboring_states
+
+    polys = _read_geo(spark, sf_dir, "polygons")
+    return (
+        filter_to_neighboring_states(polys, "45")
+        .groupBy("STATE", "kind")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_poi_bbox(spark, sf_dir):
+    """F5: buffered bounding box over the valid POI set."""
+    from socialmapper_spark.functions.bbox import poi_bounding_box
+
+    pois = _read_geo(spark, sf_dir, "pois").filter(F.col("lat") <= 90.0)
+    return poi_bounding_box(pois, buffer_km=5.0)
+
+
+def q_cluster_bbox(spark, sf_dir):
+    """F6: adaptive per-cluster network bboxes (cluster = r5 cell)."""
+    from socialmapper_spark.functions.bbox import cluster_network_bboxes
+    from socialmapper_spark.geo.cells import cell_col
+
+    pois = (
+        _read_geo(spark, sf_dir, "pois")
+        .filter(F.col("lat") <= 90.0)
+        .withColumn("cluster", cell_col(F.col("lat"), F.col("lon"), 5))
+    )
+    return cluster_network_bboxes(pois, "cluster", travel_time_minutes=15, buffer_km=2.0)
+
+
 def _wide(spark, sf_dir):
     from socialmapper_spark.operators.census import pivot_census
 
@@ -884,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_tail_bins": q_head_tail_bins,
         "fisher_jenks_bins": q_fisher_jenks_bins,
         "natural_breaks_bins": q_natural_breaks_bins,
+        "neighbor_states": q_neighbor_states,
+        "poi_bbox": q_poi_bbox,
+        "cluster_bbox": q_cluster_bbox,
     }
 
 
@@ -1340,6 +1377,42 @@ def oracle_sql() -> dict[str, str]:
             union all
             select 'invalid' as bucket, poly_id
             from (values ('bad_null'), ('bad_truncated'), ('bad_degenerate')) t(poly_id)
+        """,
+        "neighbor_states": f"""
+            select STATE, kind, count(*) as n
+            from read_parquet('{g}/polygons.parquet')
+            where STATE in ('13', '37')
+            group by STATE, kind
+        """,
+        "poi_bbox": f"""
+            select min(lat) - 5.0/111.0 as min_lat,
+                   min(lon) - 5.0/111.0 as min_lon,
+                   max(lat) + 5.0/111.0 as max_lat,
+                   max(lon) + 5.0/111.0 as max_lon
+            from read_parquet('{g}/pois.parquet')
+            where lat <= 90.0 and lat is not null and lon is not null
+        """,
+        "cluster_bbox": f"""
+            with p as (
+                select lat, lon,
+                       cast(5 as bigint)*288230376151711744
+                       + (cast(floor((lon+180.0)/0.087890625) as bigint) % 4096)*536870912
+                       + least(greatest(cast(floor((lat+90.0)/0.087890625) as bigint),0),2047)
+                         as cluster
+                from read_parquet('{g}/pois.parquet')
+                where lat <= 90.0 and lat is not null and lon is not null
+            ), grp as (
+                select cluster, count(*) as n_pois,
+                       min(lat) as lat0, min(lon) as lon0,
+                       max(lat) as lat1, max(lon) as lon1
+                from p group by cluster
+            )
+            select cluster, n_pois,
+                   lat0 - (2.0 + cast(15 as double)/15.0 + cast(n_pois as double)/10.0)/111.0 as min_lat,
+                   lon0 - (2.0 + cast(15 as double)/15.0 + cast(n_pois as double)/10.0)/111.0 as min_lon,
+                   lat1 + (2.0 + cast(15 as double)/15.0 + cast(n_pois as double)/10.0)/111.0 as max_lat,
+                   lon1 + (2.0 + cast(15 as double)/15.0 + cast(n_pois as double)/10.0)/111.0 as max_lon
+            from grp
         """,
         "std_mean_bins": f"""
             with v as (select geoid, B19013_001E as value from ({wide})

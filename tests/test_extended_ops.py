@@ -562,3 +562,56 @@ def test_fisher_jenks_sampled_caps_histogram(spark, geo_small):
     n = wide.filter(F.col("B19013_001E").isNotNull()).count()
     assert out.count() == n  # assignment still covers every row
     assert out.agg(F.max("bin")).collect()[0][0] <= 5
+
+
+# --- neighbors + bbox helpers ------------------------------------------------
+
+def test_state_neighbors_reference_examples():
+    from socialmapper_spark.functions.neighbors import (
+        get_neighboring_counties,
+        get_neighboring_states,
+    )
+
+    # doctest examples from reference neighbors.py:40-45
+    assert get_neighboring_states("37") == ["13", "45", "47", "51"]
+    assert get_neighboring_states("06") == ["04", "32", "41"]
+    assert get_neighboring_states("6") == ["04", "32", "41"]  # zfill
+    assert get_neighboring_states("99") == []
+    # verbatim-parity note: the reference map is NOT fully symmetric
+    # (e.g. FL lists AL but AL omits FL, census/__init__.py:335,343);
+    # the engine reproduces the reference data as-is, asymmetries included
+    from socialmapper_spark.functions.neighbors import STATE_NEIGHBORS
+
+    assert "01" in STATE_NEIGHBORS["12"] and "12" not in STATE_NEIGHBORS["01"]
+    assert len(STATE_NEIGHBORS) == 48
+    # reference contract: county neighbors unimplemented upstream
+    assert get_neighboring_counties("37183") == []
+
+
+def test_poi_bounding_box(spark):
+    from socialmapper_spark.functions.bbox import buffer_km_to_deg, poi_bounding_box
+
+    df = spark.createDataFrame(
+        [(35.0, -79.0), (36.0, -78.0), (None, -70.0)], "lat double, lon double"
+    )
+    row = poi_bounding_box(df, buffer_km=111.0).collect()[0]
+    assert row["min_lat"] == 34.0 and row["max_lat"] == 37.0
+    assert row["min_lon"] == -80.0 and row["max_lon"] == -77.0
+    assert buffer_km_to_deg(5.0) == 5.0 / 111.0
+
+
+def test_cluster_network_bboxes_adaptive(spark):
+    from socialmapper_spark.functions.bbox import cluster_network_bboxes
+
+    df = spark.createDataFrame(
+        [("a", 35.0, -79.0), ("a", 35.2, -78.8), ("b", 36.0, -78.0)],
+        "cluster string, lat double, lon double",
+    )
+    rows = {r["cluster"]: r for r in cluster_network_bboxes(df, "cluster").collect()}
+    # adaptive buffer: 2 + 15/15 + n/10 km over 111
+    ba = (2.0 + 1.0 + 2.0 / 10.0) / 111.0
+    bb = (2.0 + 1.0 + 1.0 / 10.0) / 111.0
+    assert abs(rows["a"]["min_lat"] - (35.0 - ba)) < 1e-12
+    assert abs(rows["a"]["max_lon"] - (-78.8 + ba)) < 1e-12
+    assert abs(rows["b"]["min_lat"] - (36.0 - bb)) < 1e-12
+    assert rows["a"]["n_pois"] == 2 and rows["b"]["n_pois"] == 1
