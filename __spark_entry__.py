@@ -616,6 +616,18 @@ def q_cosine_topk(spark, sf_dir):
     return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def q_cosine_topk_many(spark, sf_dir):
+    """Many-query cosine top-k: one scan + broadcast query matrix +
+    partition-local heaps — must equal the per-query-branch plan."""
+    from socialmapper_spark.fixtures import COSINE_K, COSINE_QUERY_IDS
+    from socialmapper_spark.operators.similarity import cosine_topk_many
+
+    out = cosine_topk_many(
+        spark, _read(spark, sf_dir, "embeddings"), COSINE_QUERY_IDS, COSINE_K
+    )
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate NN (multi-probe Hamming-1), exact rerank."""
     from socialmapper_spark.fixtures import COSINE_K, COSINE_QUERY_IDS
@@ -876,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_dup": q_embedding_dup,
@@ -1162,6 +1175,10 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, simhash from read_parquet('{tg}/golden_simhash.parquet')
         """,
         "cosine_topk": f"""
+            select query_id, vec_id, cosine, rank
+            from read_parquet('{tg}/golden_cosine_topk.parquet')
+        """,
+        "cosine_topk_many": f"""
             select query_id, vec_id, cosine, rank
             from read_parquet('{tg}/golden_cosine_topk.parquet')
         """,

@@ -90,6 +90,107 @@ def cosine_topk(
     )
 
 
+def cosine_topk_many(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: int = 8,
+) -> DataFrame:
+    """Many-query form of :func:`cosine_topk`: ONE scan, a broadcast
+    query matrix, and per-partition top-(k+margin) heaps — plan size is
+    O(1) in the number of queries (the literal-per-query form unions one
+    scan branch per query, fine at 5, wrong at 5 000).
+
+    Bit-parity with :func:`cosine_topk`: the Arrow kernel accumulates
+    dot/norm dimension-sequentially (the exact fold order of the Catalyst
+    ``aggregate`` expression) and applies the same HALF_UP 9 dp rounding,
+    so emitted cosines are identical; only a >``margin``-way tie inside
+    5e-10 at the k boundary could reorder the cut (documented, unpinned
+    — random embeddings never get there).
+
+    Scale shape: scan → narrow mapInPandas (no shuffle) → shuffle of
+    ≤ partitions·|Q|·(k+margin) candidate rows → per-query window.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qrows = {
+        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
+        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    missing = [qid for qid in query_ids if qid not in qrows]
+    if missing:
+        raise ValueError(f"query ids not found in {id_col}: {missing}")
+    qmat = np.stack([qrows[qid] for qid in query_ids])  # (Q, D)
+    # np.dot per query — the exact qn arithmetic of cosine_topk/the golden
+    qns = np.array(
+        [float(np.sqrt(np.dot(qrows[qid], qrows[qid]))) for qid in query_ids]
+    )
+    qids = list(query_ids)
+    bc = spark.sparkContext.broadcast((qids, qmat, qns))
+    keep = k + margin
+    q9 = Decimal("0.000000001")
+
+    def gen(batches):
+        b_qids, b_qmat, b_qns = bc.value
+        nq, dim = b_qmat.shape
+        # per-query candidate pools for this partition
+        pool_cos: list[list[float]] = [[] for _ in range(nq)]
+        pool_ids: list[list[int]] = [[] for _ in range(nq)]
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # dimension-sequential accumulation == the Catalyst fold order
+            acc = np.zeros((mat.shape[0], nq))
+            nrm = np.zeros(mat.shape[0])
+            for d in range(dim):
+                acc += mat[:, d : d + 1] * b_qmat[None, :, d][0]
+                nrm += mat[:, d] * mat[:, d]
+            cos = acc / (np.sqrt(nrm)[:, None] * b_qns[None, :])
+            for j, qid in enumerate(b_qids):
+                cj = cos[:, j]
+                mask = ids != qid
+                cj, idj = cj[mask], ids[mask]
+                if len(cj) > keep:
+                    # lexsort keeps the (cosine desc, vec_id asc) boundary
+                    # tie-break identical to the final window's ordering
+                    part = np.lexsort((idj, -cj))[:keep]
+                    cj, idj = cj[part], idj[part]
+                pool_cos[j].extend(cj.tolist())
+                pool_ids[j].extend(int(v) for v in idj)
+        rows = []
+        for j, qid in enumerate(b_qids):
+            cj = np.array(pool_cos[j])
+            idj = np.array(pool_ids[j])
+            if len(cj) == 0:
+                continue
+            order = np.lexsort((idj, -cj))[:keep]
+            for i in order:
+                # same rounding as Spark's round(col, 9): BigDecimal on the
+                # shortest double repr, HALF_UP — only on survivors (cheap)
+                c = float(
+                    Decimal(repr(float(cj[i]))).quantize(q9, ROUND_HALF_UP)
+                )
+                rows.append((qid, int(idj[i]), c))
+        yield pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, vec_id long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def _planes(dim: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

@@ -111,3 +111,15 @@ def test_simhash_batch_equals_scalar_twin():
     got = simhash64_batch(texts)
     exp = np.array([simhash64_py(t) for t in texts], dtype=np.int64)
     assert np.array_equal(got, exp)
+
+
+def test_cosine_topk_many_equals_per_query_form(spark):
+    """The one-scan broadcast-matrix form must reproduce the per-query
+    plan exactly — more queries than the oracle pin uses."""
+    from socialmapper_spark.operators.similarity import cosine_topk, cosine_topk_many
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(12).collect()]
+    a = {tuple(r) for r in cosine_topk(spark, emb, qids, k=5).collect()}
+    b = {tuple(r) for r in cosine_topk_many(spark, emb, qids, k=5).collect()}
+    assert a == b and len(a) == 12 * 5
