@@ -615,3 +615,20 @@ def test_cluster_network_bboxes_adaptive(spark):
     assert abs(rows["a"]["max_lon"] - (-78.8 + ba)) < 1e-12
     assert abs(rows["b"]["min_lat"] - (36.0 - bb)) < 1e-12
     assert rows["a"]["n_pois"] == 2 and rows["b"]["n_pois"] == 1
+
+
+def test_sanitize_filename_reference_rules():
+    import pytest as _pytest
+
+    from socialmapper_spark.functions.filenames import sanitize_filename
+
+    assert sanitize_filename("my map: v2?.png") == "my map v2.png"
+    assert sanitize_filename("../../etc/passwd") == "etcpasswd"
+    assert sanitize_filename("  .report. ") == "report"
+    assert sanitize_filename("a\x00b<c>.csv") == "abc.csv"
+    with _pytest.raises(ValueError):
+        sanitize_filename("???")
+    with _pytest.raises(ValueError):
+        sanitize_filename("CON.txt")
+    with _pytest.raises(ValueError):
+        sanitize_filename("lpt1.csv")
