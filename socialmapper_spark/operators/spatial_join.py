@@ -20,13 +20,19 @@ Our engine computes both locally with one plan shape:
       OVER-approximates each polygon (no false negatives; O3 in
       SURVEY.md §4), so phase 1 is a pure broadcast hash join that
       Catalyst keeps inside whole-stage codegen.
-  phase 2 (exact refine, vectorized Python): candidates pick up their
-      polygon's (simplified) WKB via a second *broadcast hash join* on
-      poly_id — geometry reaches executors through Spark's own
+  phase 2 (exact refine, pure Catalyst): candidates pick up their
+      polygon's pre-parsed edge list via a second *broadcast hash join*
+      on poly_id — geometry reaches executors through Spark's own
       BroadcastExchange, no driver collect, no SparkContext.broadcast
-      pickle — and a stateless pandas UDF ray-casts each Arrow batch,
-      grouped by poly_id so the numpy kernel runs vectorized over points
-      (the big side) and each polygon's WKB parses once per batch.
+      pickle — and the even-odd ray cast runs as an ``F.aggregate`` XOR
+      over the edges array, entirely JVM-side. No Python workers, no
+      Arrow transfer, no per-candidate geometry bytes shipped out of the
+      JVM: the hot path satisfies the "zero per-row Python" mandate
+      literally. The crossing test is the same expression as the numpy
+      twin (geo/pip.py), so results are bit-identical. Even-odd over the
+      flattened ring set equals the per-member exterior-minus-holes rule
+      for standard geometries (disjoint members, holes nested in their
+      exterior) — the only shapes the WKB codec emits.
 
 Scale notes (100 TB design point): the points side is never shuffled —
 phase 1/2 are broadcast joins, the refine is a narrow map. Output
@@ -49,7 +55,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from socialmapper_spark.geo.cells import cell_col, polygon_cover_cells
-from socialmapper_spark.geo.pip import points_in_polygon
 from socialmapper_spark.geo.simplify import simplify_polygon
 from socialmapper_spark.geo.wkb import polygon_to_wkb, wkb_to_rings
 
@@ -61,14 +66,42 @@ class PolygonIndex:
     """Distributed-prepared state for one polygon table.
 
     cells_df: (cell:long, poly_id:string) over-approximate polygon cover
-    geoms_df: (poly_id:string, __poly_wkb:binary) — simplified geometry,
-              shipped to the refine via a broadcast hash join
+    geoms_df: (poly_id:string, __edges:array<struct x1,y1,x2,y2>) —
+              pre-parsed (optionally simplified) ring edges, shipped to
+              the JVM-side refine via a broadcast hash join
     meta_df:  original polygon attributes minus geometry (join-back side)
     """
 
     cells_df: DataFrame
     geoms_df: DataFrame
     meta_df: DataFrame
+
+
+_EDGES_SCHEMA = (
+    "poly_id string, "
+    "__edges array<struct<x1:double,y1:double,x2:double,y2:double>>"
+)
+
+
+def _edge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """WKB → flattened closed-ring edge list (all members, all rings)."""
+    for pdf in batches:
+        rows = []
+        for pid, b in zip(pdf["poly_id"], pdf["geometry_wkb"]):
+            edges = []
+            for rings in wkb_to_rings(bytes(b)):
+                for ring in rings:
+                    ring = np.asarray(ring, dtype=np.float64)
+                    if np.array_equal(ring[0], ring[-1]):
+                        ring = ring[:-1]
+                    nxt = np.roll(ring, -1, axis=0)
+                    edges.extend(
+                        {"x1": float(a[0]), "y1": float(a[1]),
+                         "x2": float(c[0]), "y2": float(c[1])}
+                        for a, c in zip(ring, nxt)
+                    )
+            rows.append((pid, edges))
+        yield pd.DataFrame(rows, columns=["poly_id", "__edges"])
 
 
 def _simplify_batches(tol: float):
@@ -136,36 +169,37 @@ def prepare_polygons(
         geom = geom.mapInPandas(
             _simplify_batches(simplify_tolerance_deg),
             "poly_id string, geometry_wkb binary",
-        ).persist()  # two consumers (cover + broadcast); avoid re-simplify
+        ).persist()  # two consumers (cover + edges); avoid re-simplify
     cells_df = geom.mapInPandas(_cover_batches(res), "cell long, poly_id string")
-    geoms_df = geom.withColumnRenamed("geometry_wkb", "__poly_wkb")
+    geoms_df = geom.mapInPandas(_edge_batches, _EDGES_SCHEMA)
     meta_df = polygons.drop("geometry_wkb")
     return PolygonIndex(cells_df=cells_df, geoms_df=geoms_df, meta_df=meta_df)
 
 
-def _make_refine_udf():
-    # created lazily — pandas_udf parses its DDL return type against the
-    # active SparkSession, so the decorator can't run at import time
-    @pandas_udf("boolean")
-    def pip_refine(
-        poly_id: pd.Series, wkb: pd.Series, lon: pd.Series, lat: pd.Series
-    ) -> pd.Series:
-        out = np.zeros(len(poly_id), dtype=bool)
-        px = lon.to_numpy(dtype=np.float64)
-        py = lat.to_numpy(dtype=np.float64)
-        # group the Arrow batch by polygon so the ray-cast kernel runs
-        # vectorized over all of that polygon's candidate points and the
-        # WKB parses once per (batch, polygon)
-        for _, idx in poly_id.groupby(poly_id).groups.items():
-            ii = np.asarray(idx)
-            polys = wkb_to_rings(bytes(wkb.iloc[ii[0]]))
-            hit = np.zeros(len(ii), dtype=bool)
-            for rings in polys:
-                hit |= points_in_polygon(px[ii], py[ii], rings)
-            out[ii] = hit
-        return pd.Series(out)
+def pip_refine_expr(edges: F.Column, lon: F.Column, lat: F.Column) -> F.Column:
+    """Even-odd ray cast as a pure Catalyst fold over the edge array.
 
-    return pip_refine
+    The crossing test is the EXACT expression of the numpy twin
+    (geo/pip.py points_in_ring): an edge crosses when
+    ``(y1 > py) != (y2 > py)`` and the x-intersection is strictly right
+    of the point. IEEE double ops in the same order → bit-identical
+    verdicts. The division is guarded by the crossing condition (y1 ≠ y2
+    whenever it holds); when it doesn't, the NaN/Inf x-intersection is
+    inside a conjunction that is already false.
+    """
+    return F.aggregate(
+        edges,
+        F.lit(False),
+        lambda acc, e: F.when(
+            ((e["y1"] > lat) != (e["y2"] > lat))
+            & (
+                lon
+                < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            ~acc,
+        ).otherwise(acc),
+    )
 
 
 def _make_geom_valid_udf():
@@ -242,8 +276,7 @@ def spatial_join(
         .drop("cell")
         .join(F.broadcast(index.geoms_df), "poly_id")
     )
-    refine = _make_refine_udf()
     out = candidates.filter(
-        refine(F.col("poly_id"), F.col("__poly_wkb"), F.col(lon), F.col(lat))
-    ).drop("__poly_wkb")
+        pip_refine_expr(F.col("__edges"), F.col(lon), F.col(lat))
+    ).drop("__edges")
     return out.drop("__cell") if "__cell" in out.columns else out

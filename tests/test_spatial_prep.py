@@ -180,9 +180,9 @@ def test_simplified_index_still_assigns_interior_points(spark):
     )
     polygons = spark.createDataFrame(pdf)
     index = prepare_polygons(spark, polygons, simplify_tolerance_deg=0.001)
-    # geometry actually shrank
-    simplified = index.geoms_df.collect()[0]["__poly_wkb"]
-    assert len(bytes(simplified)) < len(pdf["geometry_wkb"][0]) / 3
+    # geometry actually shrank (edge list well below the original 720)
+    n_edges = len(index.geoms_df.collect()[0]["__edges"])
+    assert 3 <= n_edges < 240
     pts = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -217,3 +217,60 @@ def test_grid_disk_col_matches_python_twin(spark):
     }
     for c in cells:
         assert got[c] == sorted(grid_disk(c, 3)), f"mismatch for cell {c}"
+
+
+def test_flagship_plan_zero_per_row_python(spark, geo_small):
+    """north_star: 'zero per-row Python'. The flagship plan must contain
+    no Arrow/Batch Python eval on the page side; the only Python nodes
+    are the MapInPandas polygon-prep over the tiny polygon table."""
+    from socialmapper_spark.pipeline import flagship_query
+
+    plan = (
+        flagship_query(
+            spark,
+            spark.read.parquet(f"{geo_small}/pages.parquet"),
+            spark.read.parquet(f"{geo_small}/polygons.parquet"),
+            spark.read.parquet(f"{geo_small}/census_long.parquet"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_kring_plan_stays_in_plan(spark, geo_small):
+    """The POI ring expansion must be pure Catalyst: no ExistingRDD scan
+    (driver-built rows) anywhere in the kring candidate plan, and the
+    candidate join must be a broadcast hash join."""
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    pages = spark.read.parquet(f"{geo_small}/pages.parquet")
+    pois = spark.read.parquet(f"{geo_small}/pois.parquet").filter(F.col("lat") <= 90)
+    out = knn_join(spark, geoparse_pages(pages), pois, k=1, strategy="kring")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan  # the in-plan grid_disk expansion
+
+
+def test_page_assignments_stream_equals_batch(spark, geo_small):
+    """Streaming (stream-static broadcast joins, 3 micro-batches) must
+    equal the batch assignment plan row-for-row."""
+    from socialmapper_spark.pipeline import page_assignments
+    from socialmapper_spark.streaming.pipeline import page_assignments_stream
+
+    pages = spark.read.parquet(f"{geo_small}/pages.parquet")
+    polygons = spark.read.parquet(f"{geo_small}/polygons.parquet")
+    batch = {
+        (r["url"], r["poly_id"])
+        for r in page_assignments(spark, pages, polygons).collect()
+    }
+    stream = {
+        (r["url"], r["poly_id"])
+        for r in page_assignments_stream(spark, str(geo_small), polygons).collect()
+    }
+    assert stream == batch and len(batch) > 1000
