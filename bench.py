@@ -81,6 +81,11 @@ def main() -> None:
     for _ in range(rounds):
         for name, fn in bench_queries:
             t, n = timed(fn)
+            # queries that persist() intermediates leave CacheManager
+            # entries keyed by logical plan that the next identical run
+            # would silently reuse — every timed run must execute the
+            # full pipeline
+            spark.catalog.clearCache()
             queries[name] = min(queries[name], round(t, 3))
             counts[name] = n if isinstance(n, int) else None
 

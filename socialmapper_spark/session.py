@@ -42,9 +42,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # sandbox inputs are small files; lower split size so scans use all
-        # cores (a cluster-scale table has ample row groups either way)
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # sandbox inputs are small files (sf0.1 pages ≈ 39 MB): at the JVM
+        # default 128 MB — or even 16 MB — the scan stage gets a handful of
+        # splits and the heaviest stage can't use the cores (16 MB → 3
+        # tasks for sf0.1). 1 MB splits give one task per row group
+        # (row_group_size=16384 → 37 splits), restoring full parallelism.
+        # A cluster-scale table has ample row groups; ops would raise this.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
