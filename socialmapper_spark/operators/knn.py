@@ -137,7 +137,13 @@ def knn_join(
     if strategy == "auto":
         strategy = "broadcast" if n_pois <= AUTO_BROADCAST_MAX_POIS else "kring"
 
-    pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    # prune to the three columns the join needs BEFORE the Arrow
+    # projection: the probe side often carries wide payload columns
+    # (mentions arrays, text) that would otherwise ride through the
+    # UDF, the persist, and every shuffle of the kring machinery
+    pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).select(
+        id_col, lat, lon
+    )
     pts = pts.withColumn("__xy", _albers_udf()(F.col(lat), F.col(lon)))
     pts = pts.withColumn("__x", F.col("__xy.x")).withColumn("__y", F.col("__xy.y"))
 

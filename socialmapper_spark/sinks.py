@@ -70,6 +70,31 @@ def select_export_format(df: DataFrame) -> str:
     return "csv" if estimate_size_mb(df) < LARGE_DATASET_MB else "parquet"
 
 
+def export_units_iceberg(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """Production sink: write to an Iceberg table (the north-rule target
+    store). Uses the DataFrameWriterV2 API so partition evolution /
+    snapshots come from the catalog. This container ships no Iceberg
+    runtime jar, so the call degrades with an actionable error instead of
+    an opaque ClassNotFound — the parquet path (export_units) is the
+    sandbox stand-in; on a real cluster add
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-*`` and a
+    ``spark.sql.catalog.<name>`` configuration.
+    """
+    out = prepare_export_columns(df)
+    try:
+        writer = out.writeTo(table)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+    except Exception as e:  # catalog plugin / runtime jar absent
+        raise RuntimeError(
+            "Iceberg write failed — is the iceberg-spark-runtime jar on the "
+            "classpath and a spark.sql.catalog configured for "
+            f"'{table.split('.')[0]}'? Underlying error: {e}"
+        ) from e
+
+
 def export_units(df: DataFrame, path: str, fmt: str = "auto",
                  mode: str = "overwrite") -> str:
     """Write an analysis-result table; returns the format used.

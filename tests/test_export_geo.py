@@ -95,3 +95,16 @@ def test_frame_sample_shape(spark, geo_small):
         for r in rows:
             want = hashlib.md5(f"{digest}:{r['frame_idx']}".encode()).hexdigest()
             assert r["frame_md5"] == want
+
+
+def test_export_units_iceberg_degrades_actionably(spark):
+    """No Iceberg runtime in this container: the sink must raise a
+    RuntimeError that names the missing catalog/jar, not an opaque
+    ClassNotFound/unresolved-relation error."""
+    import pytest as _pytest
+
+    from socialmapper_spark.sinks import export_units_iceberg
+
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        export_units_iceberg(df, "local.db.units")
