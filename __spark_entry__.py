@@ -616,6 +616,14 @@ def q_cosine_topk(spark, sf_dir):
     return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash k-gram window
+    minima), pure Catalyst."""
+    from socialmapper_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"))
+
+
 def q_cosine_topk_many(spark, sf_dir):
     """Many-query cosine top-k: one scan + broadcast query matrix +
     partition-local heaps — must equal the per-query-branch plan."""
@@ -889,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_many": q_cosine_topk_many,
+        "winnow_fingerprints": q_winnow,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "embedding_dup": q_embedding_dup,
@@ -1181,6 +1190,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_many": f"""
             select query_id, vec_id, cosine, rank
             from read_parquet('{tg}/golden_cosine_topk.parquet')
+        """,
+        "winnow_fingerprints": f"""
+            select doc_id, fingerprint
+            from read_parquet('{tg}/golden_winnow.parquet')
         """,
         "lsh_ann": f"""
             select query_id, vec_id, cosine, rank

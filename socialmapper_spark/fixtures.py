@@ -407,7 +407,7 @@ def _write_goldens(out, urls, texts, polys, pois):
 # ---------------------------------------------------------------------------
 
 TEXT_ROOT = pathlib.Path("/root/repo/data/text")
-TEXT_GOLDEN_VERSION = "v4"
+TEXT_GOLDEN_VERSION = "v5"
 COSINE_QUERY_IDS = [0, 1, 2, 3, 4]
 COSINE_K = 10
 
@@ -480,16 +480,31 @@ def ensure_text_goldens(sf_dir: str) -> pathlib.Path:
         f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet') order by doc_id"
     ).fetchall()
 
-    # minhash bands + candidate pairs + jaccard verify
+    # minhash bands + candidate pairs + jaccard verify (+ winnowing)
+    from socialmapper_spark.operators.dedup import winnow_py
+
     buckets: dict[tuple[int, str], list[int]] = {}
     shingle_sets: dict[int, set[str]] = {}
     sim_rows = []
+    win_ids, win_fps = [], []
     for doc_id, text in docs:
         _, bands = _minhash_py(text)
         for j, key in enumerate(bands):
             buckets.setdefault((j, key), []).append(doc_id)
         shingle_sets[doc_id] = _shingle_set_py(text)
         sim_rows.append((doc_id, simhash64_py(text)))
+        for fp in winnow_py(text):
+            win_ids.append(doc_id)
+            win_fps.append(fp)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(win_ids, pa.int64()),
+                "fingerprint": pa.array(win_fps, pa.int64()),
+            }
+        ),
+        out / "golden_winnow.parquet",
+    )
     pairs = set()
     for ids in buckets.values():
         if 2 <= len(ids) <= 1000:

@@ -74,6 +74,68 @@ def md5_hash60_py(prefix: int, s: str) -> int:
     return int(hashlib.md5(f"{prefix}:{s}".encode()).hexdigest()[:15], 16)
 
 
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window (guarantee span = k + w - 1 = 11 chars)
+
+
+def winnow_fingerprints_col(
+    c: F.Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> F.Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03) as a
+    pure Catalyst expression: hash every character k-gram of the
+    normalized text, take the minimum of each w-window of consecutive
+    gram hashes, return the sorted distinct minima.
+
+    The classic *rolling* hash is only an efficiency trick for computing
+    k-gram hashes sequentially; hashing each k-gram directly (md5-60, the
+    repo's shared cross-engine primitive) yields the same fingerprint
+    scheme with the same guarantee: any shared substring of length
+    ≥ k+w-1 produces at least one shared fingerprint. Ties inside a
+    window collapse to the same hash value, so the position-less
+    fingerprint SET is tie-rule-independent.
+    """
+    norm = normalize_text(c)
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _md5_hash60(0, norm.substr(i, F.lit(k))),
+    )
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hashes, j, w))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """Scalar twin of :func:`winnow_fingerprints_col` (goldens/tests)."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text).strip().lower()
+    if len(norm) > k:
+        grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
+    else:
+        grams = [norm]
+    hashes = [md5_hash60_py(0, g) for g in grams]
+    n_win = max(len(hashes) - w + 1, 1)
+    return sorted({min(hashes[j : j + w]) for j in range(n_win)})
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint) rows — exploded for joins/aggregation.
+
+    Scale shape: narrow projection, no shuffle; a near-dup candidate
+    pass is the same band-bucket self-join MinHash uses, keyed on
+    fingerprint instead of band_key.
+    """
+    return docs.select(
+        id_col,
+        F.explode(winnow_fingerprints_col(F.col(text_col))).alias("fingerprint"),
+    )
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_perm: int = NUM_PERM) -> DataFrame:
     """Adds ``sig`` array<long> of minhash values (Catalyst only)."""

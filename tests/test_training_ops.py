@@ -123,3 +123,35 @@ def test_cosine_topk_many_equals_per_query_form(spark):
     a = {tuple(r) for r in cosine_topk(spark, emb, qids, k=5).collect()}
     b = {tuple(r) for r in cosine_topk_many(spark, emb, qids, k=5).collect()}
     assert a == b and len(a) == 12 * 5
+
+
+def test_winnow_guarantee_and_parity(spark):
+    """Catalyst winnowing == scalar twin, and the winnowing guarantee
+    holds: docs sharing a substring of >= k+w-1 chars share >= 1
+    fingerprint."""
+    from socialmapper_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+        winnow_py,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, f"intro text alpha {shared} outro one"),
+        (1, f"completely different beginning {shared} and ending"),
+        (2, "no overlap here at all with anything else whatsoever"),
+        (3, "tiny"),
+        (4, "  Spaces\tand\nCASE  normalize  "),
+        (5, "spaces and case normalize"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in rows:
+        assert got[doc_id] == set(winnow_py(text)), doc_id
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    assert got[0] & got[1]          # winnowing guarantee
+    assert not (got[2] & got[0])    # disjoint docs don't collide
+    assert got[4] == got[5]         # normalization twin of minhash's
