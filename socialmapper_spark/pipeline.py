@@ -107,19 +107,20 @@ def flagship_query(
         # is its single-job analog. Spill-safe (MEMORY_AND_DISK default).
         .persist()
     )
-    pairs = (
-        per_url.select("url", F.explode("isos").alias("iso"), "bgs")
-        .select(
-            "url",
-            F.col("iso.poly_id").alias("iso_id"),
-            F.col("iso.travel_time_minutes").alias("travel_time_minutes"),
-            F.explode("bgs").alias("bg_geoid"),
-        )
+    iso_pairs = per_url.select("url", F.explode("isos").alias("iso"), "bgs")
+    # per_url holds exactly one row per url, so after the iso explode each
+    # (url, iso) pair is already unique: n_pages is a plain map-side-
+    # combinable count — no countDistinct expand, one less wide shuffle
+    page_counts = iso_pairs.groupBy(F.col("iso.poly_id").alias("iso_id")).agg(
+        F.count("*").alias("n_pages")
+    )
+    pairs = iso_pairs.select(
+        "url",
+        F.col("iso.poly_id").alias("iso_id"),
+        F.col("iso.travel_time_minutes").alias("travel_time_minutes"),
+        F.explode("bgs").alias("bg_geoid"),
     )
     iso_bgs = pairs.select("iso_id", "travel_time_minutes", "bg_geoid").distinct()
-    page_counts = pairs.groupBy("iso_id").agg(
-        F.countDistinct("url").alias("n_pages")
-    )
 
     wide = pivot_census(census_long)
     joined = iso_bgs.join(wide, iso_bgs["bg_geoid"] == wide["geoid"], "left")
