@@ -862,6 +862,13 @@ def q_fisher_jenks_bins(spark, sf_dir):
     return fisher_jenks_bins(_wide(spark, sf_dir))
 
 
+def q_jenks_caspall_bins(spark, sf_dir):
+    """F16 jenks_caspall: deterministic mean-reassignment (golden oracle)."""
+    from socialmapper_spark.operators.classify import jenks_caspall_bins
+
+    return jenks_caspall_bins(_wide(spark, sf_dir))
+
+
 def q_natural_breaks_bins(spark, sf_dir):
     """F16 natural_breaks: deterministic 1-D k-means (golden oracle)."""
     from socialmapper_spark.operators.classify import natural_breaks_bins
@@ -940,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_tail_bins": q_head_tail_bins,
         "fisher_jenks_bins": q_fisher_jenks_bins,
         "natural_breaks_bins": q_natural_breaks_bins,
+        "jenks_caspall_bins": q_jenks_caspall_bins,
         "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
@@ -1511,6 +1519,10 @@ def oracle_sql() -> dict[str, str]:
         "natural_breaks_bins": f"""
             select geoid, value, bin from read_parquet('{g}/golden_classify.parquet')
             where scheme = 'natural_breaks'
+        """,
+        "jenks_caspall_bins": f"""
+            select geoid, value, bin from read_parquet('{g}/golden_classify.parquet')
+            where scheme = 'jenks_caspall'
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,

@@ -692,7 +692,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x5"
+GEO_EXTRA_VERSION = "x6"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -845,6 +845,7 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
 
     from socialmapper_spark.operators.classify import (
         _fisher_jenks_cuts,
+        _jenks_caspall_cuts,
     )
 
     wide_rows = duckdb.sql(
@@ -911,6 +912,7 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
         ("head_tail", ht_cuts(cv)),
         ("fisher_jenks", [float(c) for c in fj]),
         ("natural_breaks", nb_cuts(uniq_v, uniq_c.astype(np.float64))),
+        ("jenks_caspall", _jenks_caspall_cuts(uniq_v, uniq_c.astype(np.float64), 5)),
     ]:
         kk = len(cuts)
         for gid, v in zip(cg, cv):

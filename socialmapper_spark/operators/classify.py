@@ -30,9 +30,12 @@ aggregate, broadcast, assign by comparison":
   testable choice, documented divergence.
 - ``defined_interval`` — the reference itself FALLS BACK to quantiles
   for this scheme (chloropleth.py:146-149); parity means doing the same.
-- ``jenks_caspall`` / ``max_p_classifier`` — not implemented (iterative
-  reassignment heuristics with tie-breaking mapclassify does not pin;
-  SURVEY.md scopes them out as viz-only).
+- ``jenks_caspall`` — deterministic iterative reassignment: quantile
+  seeding, then move every value to the class with the nearest mean
+  until a fixed point (the published J-C forced-move loop, which has no
+  randomness), over the same distinct-value histogram.
+- ``max_p_classifier`` — not implemented (randomized multi-start
+  optimization mapclassify does not pin; viz-only per SURVEY.md).
 
 Output convention matches stats.quantile_bins: (geoid, value, bin) with
 1-based bins.
@@ -324,6 +327,44 @@ def fisher_jenks_bins(
     vals = _vals(census_wide, variable)
     values, counts = _distinct_hist(vals, sample_cap)
     cuts = _fisher_jenks_cuts(values, counts, k)
+    return _assign(vals, cuts)
+
+
+def _jenks_caspall_cuts(values: np.ndarray, counts: np.ndarray, k: int) -> list[float]:
+    """Deterministic Jenks-Caspall on a weighted histogram: quantile-
+    seeded labels, then reassign every value to the nearest class mean
+    until stable; cuts = per-class maxima. Ties go to the lower class
+    (argmin's first match), making the fixed point unique."""
+    u = len(values)
+    k = min(k, u)
+    cum = np.cumsum(counts)
+    frac = (cum - counts / 2.0) / cum[-1]
+    labels = np.clip((frac * k).astype(np.int64), 0, k - 1)
+    for _ in range(200):
+        means = np.array(
+            [
+                np.average(values[labels == c], weights=counts[labels == c])
+                for c in np.unique(labels)
+            ]
+        )
+        # argmin indexes dense 0..m-1 mean positions; means are sorted
+        # (values and labels are sorted), so labels stay order-consistent
+        new = np.argmin(np.abs(values[:, None] - means[None, :]), axis=1)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return sorted(float(values[labels == c].max()) for c in np.unique(labels))
+
+
+def jenks_caspall_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
+) -> DataFrame:
+    """JenksCaspall: deterministic mean-reassignment classification over
+    the distinct-value histogram (same driver-side shape as
+    fisher_jenks: a bounded groupBy-collect, never a row collect)."""
+    vals = _vals(census_wide, variable)
+    values, counts = _distinct_hist(vals)
+    cuts = _jenks_caspall_cuts(values, counts, k)
     return _assign(vals, cuts)
 
 

@@ -632,3 +632,23 @@ def test_sanitize_filename_reference_rules():
         sanitize_filename("CON.txt")
     with _pytest.raises(ValueError):
         sanitize_filename("lpt1.csv")
+
+
+def test_jenks_caspall_partitions_and_converges(spark, geo_small):
+    from socialmapper_spark.operators.census import pivot_census
+    from socialmapper_spark.operators.classify import jenks_caspall_bins
+
+    wide = pivot_census(spark.read.parquet(f"{geo_small}/census_long.parquet"))
+    out = jenks_caspall_bins(wide).collect()
+    n = wide.filter(F.col("B19013_001E").isNotNull()).count()
+    assert len(out) == n
+    bins = {r["bin"] for r in out}
+    assert bins == set(range(1, len(bins) + 1)) and 2 <= len(bins) <= 5
+    # classes are contiguous in value: max of bin b < min of bin b+1
+    import collections
+
+    by_bin = collections.defaultdict(list)
+    for r in out:
+        by_bin[r["bin"]].append(r["value"])
+    for b in range(1, len(bins)):
+        assert max(by_bin[b]) < min(by_bin[b + 1])
