@@ -652,3 +652,40 @@ def test_jenks_caspall_partitions_and_converges(spark, geo_small):
         by_bin[r["bin"]].append(r["value"])
     for b in range(1, len(bins)):
         assert max(by_bin[b]) < min(by_bin[b + 1])
+
+
+def test_classify_fewer_distinct_values_than_classes(spark):
+    """k larger than the distinct-value count must degrade to one class
+    per distinct value, never divide-by-zero or emit empty classes."""
+    from socialmapper_spark.operators.classify import (
+        fisher_jenks_bins,
+        jenks_caspall_bins,
+        natural_breaks_bins,
+        std_mean_bins,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 2.0), ("d", 2.0), ("e", 3.0)],
+        "geoid string, B19013_001E double",
+    )
+    for fn in (fisher_jenks_bins, natural_breaks_bins, jenks_caspall_bins):
+        rows = fn(df, k=5).collect()
+        assert len(rows) == 5, fn.__name__
+        by_val = {}
+        for r in rows:
+            by_val.setdefault(r["value"], set()).add(r["bin"])
+        # equal values always share a bin; bins increase with value
+        assert all(len(s) == 1 for s in by_val.values()), fn.__name__
+        order = [next(iter(by_val[v])) for v in sorted(by_val)]
+        assert order == sorted(order), fn.__name__
+    assert std_mean_bins(df).count() == 5
+
+
+def test_sessionize_empty_input(spark):
+    from socialmapper_spark.operators.events import sessionize
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+    )
+    assert sessionize(empty).count() == 0

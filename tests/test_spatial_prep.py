@@ -274,3 +274,42 @@ def test_page_assignments_stream_equals_batch(spark, geo_small):
         for r in page_assignments_stream(spark, str(geo_small), polygons).collect()
     }
     assert stream == batch and len(batch) > 1000
+
+
+def test_knn_kring_at_20k_pois_matches_broadcast(spark, geo_small):
+    """The kring scale path must stay exact at a POI cardinality where
+    the broadcast cross-join would be the wrong plan (20k POIs, generated
+    in-plan — no driver POI list ever exists)."""
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    pois = spark.range(20000).select(
+        F.concat(F.lit("poi"), F.col("id")).alias("id"),
+        (F.lit(35.0) + F.pmod(F.xxhash64(F.col("id")), F.lit(100000)) / 100000.0).alias("lat"),
+        (F.lit(-79.5) + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(150000)) / 100000.0).alias("lon"),
+    )
+    probes = geoparse_pages(
+        spark.read.parquet(f"{geo_small}/pages.parquet")
+    ).filter(F.col("lat").isNotNull()).limit(300)
+    a = {
+        r["url"]: (r["poi_id"], round(r["distance_km"], 9))
+        for r in knn_join(spark, probes, pois, k=1, strategy="kring").collect()
+    }
+    b = {
+        r["url"]: (r["poi_id"], round(r["distance_km"], 9))
+        for r in knn_join(spark, probes, pois, k=1, strategy="broadcast").collect()
+    }
+    assert a == b and len(a) == 300
+
+
+def test_spatial_join_empty_polygon_table(spark, geo_small):
+    """An empty polygon side must yield an empty result, not a crash."""
+    from socialmapper_spark.operators.spatial_join import prepare_polygons, spatial_join
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    polys = spark.read.parquet(f"{geo_small}/polygons.parquet").filter(F.lit(False))
+    index = prepare_polygons(spark, polys)
+    pts = geoparse_pages(spark.read.parquet(f"{geo_small}/pages.parquet")).filter(
+        F.col("lat").isNotNull()
+    )
+    assert spatial_join(pts, index, cell="cell_r7").count() == 0
