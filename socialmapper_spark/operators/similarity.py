@@ -140,6 +140,8 @@ def cosine_topk_many(
         pool_cos: list[list[float]] = [[] for _ in range(nq)]
         pool_ids: list[list[int]] = [[] for _ in range(nq)]
         for pdf in batches:
+            if len(pdf) == 0:  # empty partitions yield empty batches
+                continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             # dimension-sequential accumulation == the Catalyst fold order

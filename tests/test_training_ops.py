@@ -155,3 +155,19 @@ def test_winnow_guarantee_and_parity(spark):
     assert got[0] & got[1]          # winnowing guarantee
     assert not (got[2] & got[0])    # disjoint docs don't collide
     assert got[4] == got[5]         # normalization twin of minhash's
+
+
+def test_cosine_topk_many_with_empty_partitions(spark):
+    """Empty Arrow batches (more partitions than rows) must not crash the
+    partition-local kernel."""
+    from socialmapper_spark.operators.similarity import cosine_topk, cosine_topk_many
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(20)
+        .repartition(50)
+    )
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    a = {tuple(r) for r in cosine_topk_many(spark, emb, qids, k=4).collect()}
+    b = {tuple(r) for r in cosine_topk(spark, emb, qids, k=4).collect()}
+    assert a == b and len(a) == 12
