@@ -70,6 +70,51 @@ def select_export_format(df: DataFrame) -> str:
     return "csv" if estimate_size_mb(df) < LARGE_DATASET_MB else "parquet"
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "cell_r7",
+    buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Storage-layout scale path: persist a table hash-bucketed (and
+    sorted) by its join key, so subsequent equi-joins between tables
+    bucketed on the same key with the same bucket count run WITHOUT a
+    shuffle exchange — the physical design the north_rule's "salted hash
+    joins on cell keys" implies for repeatedly-joined 100 TB tables
+    (Iceberg's bucket partition transform is the same idea; this is the
+    Spark-native writer). Pinned by a plan-shape test asserting the
+    bucketed join has no big-side Exchange."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def write_partitioned_by_cell_prefix(
+    df: DataFrame,
+    path: str,
+    cell_col: str = "cell_r9",
+    parent_res: int = 5,
+    cell_res: int = 9,
+    mode: str = "overwrite",
+) -> str:
+    """Directory-partition a cell-keyed table by the parent cell at a
+    coarse resolution: region-scoped readers (a state, a metro bbox)
+    then touch only the matching partitions — `PartitionFilters` in the
+    scan, zero bytes read elsewhere. Returns the partition column name."""
+    from socialmapper_spark.geo.cells import cell_to_parent_col
+
+    part_col = f"cell_r{parent_res}"
+    (
+        df.withColumn(part_col, cell_to_parent_col(F.col(cell_col), cell_res, parent_res))
+        .write.mode(mode)
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+    return part_col
+
+
 def export_units_iceberg(df: DataFrame, table: str, mode: str = "overwrite") -> None:
     """Production sink: write to an Iceberg table (the north-rule target
     store). Uses the DataFrameWriterV2 API so partition evolution /

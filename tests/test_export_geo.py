@@ -108,3 +108,56 @@ def test_export_units_iceberg_degrades_actionably(spark):
     df = spark.createDataFrame([(1, "a")], "id int, name string")
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         export_units_iceberg(df, "local.db.units")
+
+
+def test_bucketed_join_has_no_shuffle(spark, geo_small, tmp_path):
+    """Two tables bucketed on the same key and bucket count must join
+    without a shuffle exchange on either side — the co-located join the
+    engine's storage layout is designed around."""
+    from socialmapper_spark.pipeline import geoparse_pages
+    from socialmapper_spark.sinks import write_bucketed
+
+    geop = geoparse_pages(spark.read.parquet(f"{geo_small}/pages.parquet")).filter(
+        F.col("lat").isNotNull()
+    )
+    a = geop.select("url", "cell_r7", "lat")
+    b = geop.select("url", "cell_r7", "lon")
+    write_bucketed(a.withColumnRenamed("url", "url_a"), "bucket_a", buckets=8)
+    write_bucketed(b.withColumnRenamed("url", "url_b"), "bucket_b", buckets=8)
+    ta, tb = spark.table("bucket_a"), spark.table("bucket_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, "cell_r7")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle either side
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists bucket_a")
+        spark.sql("drop table if exists bucket_b")
+
+
+def test_cell_prefix_partition_pruning(spark, geo_small, tmp_path):
+    """A region-scoped filter on the partition column must reach the scan
+    as a PartitionFilter (only matching directories read)."""
+    from socialmapper_spark.pipeline import geoparse_pages
+    from socialmapper_spark.sinks import write_partitioned_by_cell_prefix
+
+    geop = geoparse_pages(spark.read.parquet(f"{geo_small}/pages.parquet")).filter(
+        F.col("lat").isNotNull()
+    )
+    out = str(tmp_path / "assign_part")
+    part_col = write_partitioned_by_cell_prefix(
+        geop.select("url", "cell_r9"), out, cell_col="cell_r9"
+    )
+    back = spark.read.parquet(out)
+    one = back.select(part_col).first()[part_col]
+    scan = back.filter(F.col(part_col) == one)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [isnotnull({part_col}" in plan or (
+        "PartitionFilters" in plan and str(one) in plan
+    )
+    n_all, n_one = back.count(), scan.count()
+    assert 0 < n_one < n_all
