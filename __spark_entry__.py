@@ -545,6 +545,46 @@ def q_union_all(spark, sf_dir):
     return cust.unionByName(supp)
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-join rollup: customer ⨝ orders ⨝ nation ⨝ region, revenue and
+    order counts per (region, nation) — broadcast dims, one hash agg."""
+    from socialmapper_spark.operators.census import dsum
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    dim = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(dim), cust["c_nationkey"] == dim["n_nationkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def q_monthly_orders(spark, sf_dir):
+    """Time-bucketed rollup: orders per month with exact revenue."""
+    from socialmapper_spark.operators.census import dsum
+
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 # --- training-data pipeline ops over documents/embeddings --------------------
 
 def q_doc_stats(spark, sf_dir):
@@ -892,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coordinate_quarantine": q_coordinate_quarantine,
         "pricing_summary": q_pricing_summary,
         "market_join": q_market_join,
+        "revenue_by_nation": q_revenue_by_nation,
+        "monthly_orders": q_monthly_orders,
         "top_customers": q_top_customers,
         "deterministic_sample": q_deterministic_sample,
         "semi_join": q_semi_join,
@@ -1523,6 +1565,23 @@ def oracle_sql() -> dict[str, str]:
         "jenks_caspall_bins": f"""
             select geoid, value, bin from read_parquet('{g}/golden_classify.parquet')
             where scheme = 'jenks_caspall'
+        """,
+        "revenue_by_nation": """
+            select r.r_name as region, n.n_name as nation,
+                   count(*) as n_orders,
+                   cast(sum(cast(o.o_totalprice as decimal(20,6))) as double) as revenue
+            from orders o
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n on c.c_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+            group by r.r_name, n.n_name
+        """,
+        "monthly_orders": """
+            select strftime(date_trunc('month', o_orderdate), '%Y-%m') as month,
+                   count(*) as n_orders,
+                   cast(sum(cast(o_totalprice as decimal(20,6))) as double) as revenue,
+                   count(distinct o_custkey) as n_customers
+            from orders group by 1
         """,
         "event_windows": _EVENT_WINDOWS_SQL,
         "event_windows_stream": _EVENT_WINDOWS_SQL,
