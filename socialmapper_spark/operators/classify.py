@@ -72,27 +72,10 @@ def _assign(vals: DataFrame, cuts: list[float]) -> DataFrame:
 
 
 def _ranked(vals: DataFrame):
-    """Distributed global rank over (value, geoid): range shuffle →
-    per-partition row_number + broadcast prefix offsets. Returns
-    (ranked_df with __rank, n). Same scale-safe shape as quantile_bins."""
-    spark = vals.sparkSession
-    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = vals.repartitionByRange(
-        num_partitions, F.col("value").asc(), F.col("geoid").asc()
-    ).withColumn("__pid", F.spark_partition_id())
-    parts = parts.persist()
-    sizes = {r["__pid"]: r["count"] for r in parts.groupBy("__pid").count().collect()}
-    n = sum(sizes.values())
-    offsets, acc = [], 0
-    for p in sorted(sizes):
-        offsets.append((p, acc))
-        acc += sizes[p]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(F.col("value").asc(), F.col("geoid").asc())
-    ranked = parts.join(F.broadcast(off_df), "__pid").withColumn(
-        "__rank", F.row_number().over(w) + F.col("__off")
-    )
-    return ranked, n
+    """Distributed global rank — shared kernel in operators.stats."""
+    from socialmapper_spark.operators.stats import global_rank
+
+    return global_rank(vals)
 
 
 def _percentile_cuts(ranked, n: int, pcts: list[float]) -> list[float]:

@@ -226,13 +226,31 @@ def quantile_bins(
         census_wide.filter(F.col(variable).isNotNull())
         .select("geoid", F.col(variable).alias("value"))
     )
+    ranked, n = global_rank(vals)
+    rank = F.col("__rank")
+    q, m = divmod(n, k)
+    cut = m * (q + 1)  # ntile: first m buckets hold q+1 rows, the rest q
+    bin_col = (
+        F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(q + 1)))
+        .otherwise(F.lit(m) + F.ceil((rank - F.lit(cut)) / F.lit(max(q, 1))))
+        .cast("int")
+    )
+    return ranked.select("geoid", "value", bin_col.alias("bin"))
+
+
+def global_rank(vals: DataFrame):
+    """Distributed global rank over (value, geoid) — the scale-safe
+    replacement for an un-partitioned window: range shuffle, per-
+    partition ``row_number`` (window partitioned by the range-partition
+    id), broadcast prefix offsets. Returns (ranked_df with ``__rank``,
+    n). Driver state is one row per shuffle partition; the range shuffle
+    is materialized once (two consumers must see identical placement).
+    Shared by quantile_bins and operators.classify."""
     spark = vals.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = vals.repartitionByRange(
         num_partitions, F.col("value").asc(), F.col("geoid").asc()
     ).withColumn("__pid", F.spark_partition_id())
-    # two consumers (counts + ranked output) must see identical partition
-    # placement — materialize the range shuffle once
     parts = parts.persist()
     sizes = {
         r["__pid"]: r["count"] for r in parts.groupBy("__pid").count().collect()
@@ -246,15 +264,7 @@ def quantile_bins(
     w = Window.partitionBy("__pid").orderBy(
         F.col("value").asc(), F.col("geoid").asc()
     )
-    rank = F.row_number().over(w) + F.col("__off")  # 1-based global rank
-    q, m = divmod(n, k)
-    cut = m * (q + 1)  # ntile: first m buckets hold q+1 rows, the rest q
-    bin_col = (
-        F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(q + 1)))
-        .otherwise(F.lit(m) + F.ceil((rank - F.lit(cut)) / F.lit(max(q, 1))))
-        .cast("int")
+    ranked = parts.join(F.broadcast(off_df), "__pid").withColumn(
+        "__rank", F.row_number().over(w) + F.col("__off")
     )
-    return (
-        parts.join(F.broadcast(off_df), "__pid")
-        .select("geoid", "value", bin_col.alias("bin"))
-    )
+    return ranked, n
