@@ -1500,7 +1500,7 @@ def oracle_sql() -> dict[str, str]:
             st as (select cast(sum(cast(value as decimal(20,6))) as double) as s,
                           cast(sum(cast(round(value*value, 6) as decimal(30,6))) as double) as s2,
                           count(*) as n, max(value) as mx from v),
-            c as (select s/n as m, sqrt(s2/n - (s/n)*(s/n)) as sd, mx from st)
+            c as (select s/n as m, sqrt(greatest(s2/n - (s/n)*(s/n), 0.0)) as sd, mx from st)
             select geoid, value,
                    least(1 + cast(value > m - 2*sd as int) + cast(value > m - sd as int)
                            + cast(value > m + sd as int) + cast(value > m + 2*sd as int),

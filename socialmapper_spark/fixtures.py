@@ -18,6 +18,7 @@ invalidates stale caches when generation logic changes.
 from __future__ import annotations
 
 import pathlib
+import re as _re
 
 import numpy as np
 import pyarrow as pa
@@ -423,7 +424,9 @@ def _minhash_py(text: str) -> tuple[list[int], list[str]]:
         md5_hash60_py,
     )
 
-    norm = " ".join(text.split()).lower().strip()
+    # re.ASCII pins \s to Java's whitespace class — str.split() would also
+    # split on Unicode spaces (NBSP etc.) that the Spark twin's regex keeps
+    norm = _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip().lower()
     words = norm.split(" ")
     if len(words) >= SHINGLE_K:
         shingles = list(
@@ -447,7 +450,7 @@ def _minhash_py(text: str) -> tuple[list[int], list[str]]:
 def _shingle_set_py(text: str) -> set[str]:
     from socialmapper_spark.operators.dedup import SHINGLE_K
 
-    norm = " ".join(text.split()).lower().strip()
+    norm = _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip().lower()
     words = norm.split(" ")
     if len(words) >= SHINGLE_K:
         return {

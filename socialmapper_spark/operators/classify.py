@@ -61,7 +61,13 @@ def _vals(census_wide: DataFrame, variable: str) -> DataFrame:
 
 
 def _assign(vals: DataFrame, cuts: list[float]) -> DataFrame:
-    """mapclassify bin1d: class of y = first cut ≥ y (1-based), clamped."""
+    """mapclassify bin1d: class of y = first cut ≥ y (1-based), clamped.
+    No cuts (empty/all-null input) → empty result, matching the
+    empty-input behavior of quantile_bins/equal_interval_bins."""
+    if not cuts:
+        return vals.select(
+            "geoid", "value", F.lit(None).cast("int").alias("bin")
+        ).limit(0)
     k = len(cuts)
     bin0 = sum(
         (F.col("value") > F.lit(float(c))).cast("int") for c in cuts
@@ -81,7 +87,9 @@ def _ranked(vals: DataFrame):
 def _percentile_cuts(ranked, n: int, pcts: list[float]) -> list[float]:
     """Exact percentiles (numpy 'linear' interpolation) from global ranks:
     value at fractional rank h=(n-1)·p/100 interpolates its two
-    neighbors. Collects ≤ 2·len(pcts) rows."""
+    neighbors. Collects ≤ 2·len(pcts) rows. Empty input → no cuts."""
+    if n == 0:
+        return []
     needed: set[int] = set()
     marks = []
     for p in pcts:
@@ -100,6 +108,14 @@ def _percentile_cuts(ranked, n: int, pcts: list[float]) -> list[float]:
         vlo, vhi = at[lo + 1], at[hi + 1]
         cuts.append(float(vlo + (h - lo) * (vhi - vlo)))
     return cuts
+
+
+def _hist_cuts_or_empty(vals: DataFrame, cut_fn, k: int, sample_cap=None):
+    """Histogram → cuts via cut_fn, with the shared empty-input guard."""
+    values, counts = _distinct_hist(vals, sample_cap)
+    if len(values) == 0:
+        return _assign(vals, [])
+    return _assign(vals, cut_fn(values, counts, k))
 
 
 def _distinct_hist(vals: DataFrame, sample_cap: int | None = None):
@@ -145,8 +161,13 @@ def std_mean_bins(
         F.max("value").alias("mx"),
     ).collect()[0]
     n = row["n"]
+    if n == 0:
+        return _assign(vals, [])
     mean = row["s"] / n
-    std = float(np.sqrt(row["s2"] / n - mean * mean))
+    # 6dp rounding of value² can push the moment estimate a hair below
+    # zero on near-constant data — clamp so std is 0, not NaN (the twin
+    # oracle applies the identical greatest(·, 0))
+    std = float(np.sqrt(max(row["s2"] / n - mean * mean, 0.0)))
     cuts = [mean + m * std for m in multiples]
     if row["mx"] > cuts[-1]:
         cuts.append(float(row["mx"]))
@@ -173,6 +194,8 @@ def box_plot_bins(
     high outliers) — 5 or 6 classes."""
     vals = _vals(census_wide, variable)
     ranked, n = _ranked(vals)
+    if n == 0:
+        return _assign(ranked, [])
     q25, q50, q75 = _percentile_cuts(ranked, n, [25.0, 50.0, 75.0])
     iqr = q75 - q25
     cuts = [q25 - hinge * iqr, q25, q50, q75, q75 + hinge * iqr]
@@ -219,6 +242,8 @@ def maximum_breaks_bins(
         .orderBy("__pid")
         .collect()
     )
+    if not edges:  # empty/all-null input
+        return _assign(ranked, [])
     gaps = [(r["__gap"], r["value"], r["__prev"]) for r in in_gaps]
     for a, b in zip(edges, edges[1:]):
         if b["lo"] > a["hi"]:
@@ -308,9 +333,7 @@ def fisher_jenks_bins(
     hash sample bounds the histogram the way mapclassify's sampled
     classifier bounds its input)."""
     vals = _vals(census_wide, variable)
-    values, counts = _distinct_hist(vals, sample_cap)
-    cuts = _fisher_jenks_cuts(values, counts, k)
-    return _assign(vals, cuts)
+    return _hist_cuts_or_empty(vals, _fisher_jenks_cuts, k, sample_cap)
 
 
 def _jenks_caspall_cuts(values: np.ndarray, counts: np.ndarray, k: int) -> list[float]:
@@ -346,9 +369,7 @@ def jenks_caspall_bins(
     the distinct-value histogram (same driver-side shape as
     fisher_jenks: a bounded groupBy-collect, never a row collect)."""
     vals = _vals(census_wide, variable)
-    values, counts = _distinct_hist(vals)
-    cuts = _jenks_caspall_cuts(values, counts, k)
-    return _assign(vals, cuts)
+    return _hist_cuts_or_empty(vals, _jenks_caspall_cuts, k)
 
 
 def natural_breaks_bins(
@@ -362,30 +383,30 @@ def natural_breaks_bins(
     mapclassify's randomized KMeans cannot be pinned by a test). Cuts =
     per-class maxima, like mapclassify's NaturalBreaks bins."""
     vals = _vals(census_wide, variable)
-    values, counts = _distinct_hist(vals)
-    u = len(values)
-    k = min(k, u)
-    # quantile seeding on the weighted histogram
-    cum = np.cumsum(counts)
-    targets = (np.arange(1, k + 1) - 0.5) / k * cum[-1]
-    cent = values[np.searchsorted(cum, targets)]
-    cent = np.unique(cent)
-    for _ in range(max_iter):
-        # assign each distinct value to nearest centroid (1-D: boundaries
-        # are centroid midpoints)
+
+    def nb_cuts(values, counts, kk):
+        kk = min(kk, len(values))
+        # quantile seeding on the weighted histogram
+        cum = np.cumsum(counts)
+        targets = (np.arange(1, kk + 1) - 0.5) / kk * cum[-1]
+        cent = np.unique(values[np.searchsorted(cum, targets)])
+        for _ in range(max_iter):
+            # assign each distinct value to nearest centroid (1-D:
+            # boundaries are centroid midpoints)
+            bounds = (cent[:-1] + cent[1:]) / 2.0
+            lab = np.searchsorted(bounds, values, side="right")
+            new = np.array(
+                [
+                    np.average(values[lab == c], weights=counts[lab == c])
+                    for c in range(len(cent))
+                    if np.any(lab == c)
+                ]
+            )
+            if len(new) == len(cent) and np.allclose(new, cent, rtol=0, atol=0):
+                break
+            cent = np.unique(new)
         bounds = (cent[:-1] + cent[1:]) / 2.0
         lab = np.searchsorted(bounds, values, side="right")
-        new = np.array(
-            [
-                np.average(values[lab == c], weights=counts[lab == c])
-                for c in range(len(cent))
-                if np.any(lab == c)
-            ]
-        )
-        if len(new) == len(cent) and np.allclose(new, cent, rtol=0, atol=0):
-            break
-        cent = np.unique(new)
-    bounds = (cent[:-1] + cent[1:]) / 2.0
-    lab = np.searchsorted(bounds, values, side="right")
-    cuts = sorted(float(values[lab == c].max()) for c in np.unique(lab))
-    return _assign(vals, cuts)
+        return sorted(float(values[lab == c].max()) for c in np.unique(lab))
+
+    return _hist_cuts_or_empty(vals, nb_cuts, k)

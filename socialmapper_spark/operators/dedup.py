@@ -108,10 +108,15 @@ def winnow_fingerprints_col(
 
 
 def winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
-    """Scalar twin of :func:`winnow_fingerprints_col` (goldens/tests)."""
+    """Scalar twin of :func:`winnow_fingerprints_col` (goldens/tests).
+
+    re.ASCII pins Python's ``\\s`` to the same class Java's regex uses
+    ([ \\t\\n\\x0b\\f\\r]) — without it, Unicode whitespace like NBSP
+    normalizes differently in the two engines and fingerprints diverge.
+    """
     import re
 
-    norm = re.sub(r"\s+", " ", text).strip().lower()
+    norm = re.sub(r"\s+", " ", text, flags=re.ASCII).strip().lower()
     if len(norm) > k:
         grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
     else:

@@ -128,11 +128,15 @@ def knn_join(
             "__poi_lon",
         )
     )
-    poi_xy = poi_sdf.select("poi_id", "poi_x", "poi_y")
     n_pois = area_km2 = mean_abs_lat = None
+    if strategy in ("auto", "kring"):
+        # the kring path consumes poi_sdf at least twice (ring explode +
+        # fallback broadcast, plus the stats agg when rings is auto) —
+        # persist so the POI scan + Arrow projection run once
+        poi_sdf = poi_sdf.persist()
+    poi_xy = poi_sdf.select("poi_id", "poi_x", "poi_y")
     if strategy == "auto" or (strategy == "kring" and rings is None):
         # the one driver-side action on the POI side: a 1-row stats agg
-        poi_sdf = poi_sdf.persist()
         n_pois, area_km2, mean_abs_lat = _poi_stats(poi_sdf)
     if strategy == "auto":
         strategy = "broadcast" if n_pois <= AUTO_BROADCAST_MAX_POIS else "kring"

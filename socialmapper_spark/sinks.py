@@ -132,12 +132,30 @@ def export_units_iceberg(df: DataFrame, table: str, mode: str = "overwrite") -> 
             writer.createOrReplace()
         else:
             writer.append()
-    except Exception as e:  # catalog plugin / runtime jar absent
-        raise RuntimeError(
-            "Iceberg write failed — is the iceberg-spark-runtime jar on the "
-            "classpath and a spark.sql.catalog configured for "
-            f"'{table.split('.')[0]}'? Underlying error: {e}"
-        ) from e
+    except Exception as e:
+        # rewrite ONLY the missing-runtime/catalog failure modes; anything
+        # else (schema mismatch, permissions, analysis errors on a working
+        # Iceberg setup) propagates untouched
+        msg = str(e)
+        if any(
+            s in msg
+            for s in (
+                "Cannot find catalog plugin",
+                "ClassNotFoundException",
+                "NoClassDefFoundError",
+                "CATALOG_NOT_FOUND",
+                "TABLE_OR_VIEW_NOT_FOUND",
+                # unconfigured multi-part catalog falls through to
+                # spark_catalog, which rejects the namespace
+                "REQUIRES_SINGLE_PART_NAMESPACE",
+            )
+        ):
+            raise RuntimeError(
+                "Iceberg write failed — is the iceberg-spark-runtime jar on "
+                "the classpath and a spark.sql.catalog configured for "
+                f"'{table.split('.')[0]}'? Underlying error: {e}"
+            ) from e
+        raise
 
 
 def export_units(df: DataFrame, path: str, fmt: str = "auto",

@@ -689,3 +689,51 @@ def test_sessionize_empty_input(spark):
             "value double, props string"
     )
     assert sessionize(empty).count() == 0
+
+
+def test_classify_all_null_variable_returns_empty(spark):
+    """An all-sentinel/null variable must yield an empty frame from every
+    scheme (quantile_bins behavior), never a crash."""
+    from socialmapper_spark.operators import classify as C
+    from socialmapper_spark.operators.stats import quantile_bins
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "geoid string, B19013_001E double"
+    )
+    for fn in (
+        quantile_bins,
+        C.std_mean_bins,
+        C.percentile_bins,
+        C.box_plot_bins,
+        C.maximum_breaks_bins,
+        C.head_tail_bins,
+        C.fisher_jenks_bins,
+        C.natural_breaks_bins,
+        C.jenks_caspall_bins,
+        C.defined_interval_bins,
+    ):
+        assert fn(df).count() == 0, fn.__name__
+
+
+def test_jenks_caspall_fixed_point_property(spark, geo_small):
+    """Independent pin of the J-C cuts (the golden shares the kernel, so
+    this is the non-circular check): at the fixed point every value must
+    be at least as close to its own class mean as to any other class
+    mean."""
+    import numpy as np
+
+    from socialmapper_spark.operators.census import pivot_census
+    from socialmapper_spark.operators.classify import jenks_caspall_bins
+
+    wide = pivot_census(spark.read.parquet(f"{geo_small}/census_long.parquet"))
+    rows = jenks_caspall_bins(wide).collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin"], []).append(r["value"])
+    means = {b: float(np.mean(v)) for b, v in by_bin.items()}
+    for b, vals_ in by_bin.items():
+        for v in vals_:
+            own = abs(v - means[b])
+            assert all(
+                own <= abs(v - m) + 1e-9 for bb, m in means.items() if bb != b
+            ), (v, b)
