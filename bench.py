@@ -34,6 +34,9 @@ def timed(fn, *args):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # sandbox files are tiny — 1 MB splits restore scan parallelism (the
+    # library default is 16 MB; see session.py)
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1 * 1024 * 1024))
 
     from pyspark.sql import functions as F
 

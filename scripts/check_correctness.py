@@ -44,6 +44,10 @@ def norm(v):
 
 
 def main(selected: list[str]) -> int:
+    import os as _os
+
+    _os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1 * 1024 * 1024))
+
     import __spark_entry__ as entrymod
     from socialmapper_spark.session import get_spark
 

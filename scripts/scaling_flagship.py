@@ -21,6 +21,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from socialmapper_spark.fixtures import geo_dir_for  # noqa: E402
 from socialmapper_spark.pipeline import flagship_query  # noqa: E402
+import os as _os
+_os.environ.setdefault('SPARK_GRAFT_MAX_PARTITION_BYTES', str(1*1024*1024))
 from socialmapper_spark.session import get_spark  # noqa: E402
 
 

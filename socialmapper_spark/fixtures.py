@@ -408,7 +408,7 @@ def _write_goldens(out, urls, texts, polys, pois):
 # ---------------------------------------------------------------------------
 
 TEXT_ROOT = pathlib.Path("/root/repo/data/text")
-TEXT_GOLDEN_VERSION = "v5"
+TEXT_GOLDEN_VERSION = "v6"
 COSINE_QUERY_IDS = [0, 1, 2, 3, 4]
 COSINE_K = 10
 
@@ -426,7 +426,7 @@ def _minhash_py(text: str) -> tuple[list[int], list[str]]:
 
     # re.ASCII pins \s to Java's whitespace class — str.split() would also
     # split on Unicode spaces (NBSP etc.) that the Spark twin's regex keeps
-    norm = _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip().lower()
+    norm = _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip(' ').lower()
     words = norm.split(" ")
     if len(words) >= SHINGLE_K:
         shingles = list(
@@ -450,7 +450,7 @@ def _minhash_py(text: str) -> tuple[list[int], list[str]]:
 def _shingle_set_py(text: str) -> set[str]:
     from socialmapper_spark.operators.dedup import SHINGLE_K
 
-    norm = _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip().lower()
+    norm = _re.sub(r"\s+", " ", text, flags=_re.ASCII).strip(' ').lower()
     words = norm.split(" ")
     if len(words) >= SHINGLE_K:
         return {
@@ -651,29 +651,38 @@ def ensure_text_goldens(sf_dir: str) -> pathlib.Path:
         out / "golden_ivf_ann.parquet",
     )
 
-    # embedding-cosine near-dup pairs: same-bucket (6-bit LSH) pairs with
-    # fold-exact cosine ≥ threshold — twin of
+    # embedding-cosine near-dup pairs: banded multi-table LSH (pairs that
+    # share a full r-bit sign key in ANY of the B tables, hot buckets
+    # capped) with fold-exact cosine ≥ threshold — twin of
     # operators.similarity.embedding_near_dup_pairs
     from socialmapper_spark.operators.similarity import (
-        NEAR_DUP_BITS,
+        NEAR_DUP_BAND_BITS,
+        NEAR_DUP_MAX_BUCKET,
+        NEAR_DUP_TABLES,
         NEAR_DUP_THRESHOLD,
+        band_keys_py,
     )
 
-    planes6 = _planes(dim, NEAR_DUP_BITS)
-    bucket6 = {vid: lsh_bucket_py(np.array(v), planes6) for vid, v in vecs.items()}
-    by_bucket: dict[int, list[int]] = {}
+    planes_b = _planes(dim, NEAR_DUP_TABLES * NEAR_DUP_BAND_BITS)
+    band_buckets: dict[tuple[int, int], list[int]] = {}
     for vid in sorted(vecs):
-        by_bucket.setdefault(bucket6[vid], []).append(vid)
+        ks = band_keys_py(
+            np.array(vecs[vid]), planes_b, NEAR_DUP_TABLES, NEAR_DUP_BAND_BITS
+        )
+        for t, key in enumerate(ks):
+            band_buckets.setdefault((t, key), []).append(vid)
+    cand_pairs = set()
+    for ids in band_buckets.values():
+        if 2 <= len(ids) <= NEAR_DUP_MAX_BUCKET:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand_pairs.add((ids[i], ids[j]))
     dup_rows = []
-    for ids in by_bucket.values():
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = vecs[ids[i]], vecs[ids[j]]
-                cos = _round_half_up(
-                    fold_dot(a, b) / (fold_norm(a) * fold_norm(b)), 9
-                )
-                if cos >= NEAR_DUP_THRESHOLD:
-                    dup_rows.append((ids[i], ids[j], cos))
+    for a_id, b_id in sorted(cand_pairs):
+        a, b = vecs[a_id], vecs[b_id]
+        cos = _round_half_up(fold_dot(a, b) / (fold_norm(a) * fold_norm(b)), 9)
+        if cos >= NEAR_DUP_THRESHOLD:
+            dup_rows.append((a_id, b_id, cos))
     pq.write_table(
         pa.table(
             {
@@ -683,6 +692,25 @@ def ensure_text_goldens(sf_dir: str) -> pathlib.Path:
             }
         ),
         out / "golden_embedding_dup.parquet",
+    )
+
+    # near-dup GROUPS: union-find over the verified jaccard pairs (the
+    # same pair set golden_jaccard records at threshold 0.3), singletons
+    # included — twin of operators.dedup.dedup_groups
+    from socialmapper_spark.operators.dedup import dedup_groups_py
+
+    grp = dedup_groups_py(
+        [(a, b) for a, b, _ in jac_rows], all_ids=[d for d, _ in docs]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([g[0] for g in grp], pa.int64()),
+                "group_id": pa.array([g[1] for g in grp], pa.int64()),
+                "is_canonical": pa.array([g[2] for g in grp], pa.bool_()),
+            }
+        ),
+        out / "golden_dedup_groups.parquet",
     )
     marker.touch()
     return out
@@ -695,7 +723,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x6"
+GEO_EXTRA_VERSION = "x7"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -849,6 +877,7 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
     from socialmapper_spark.operators.classify import (
         _fisher_jenks_cuts,
         _jenks_caspall_cuts,
+        _max_p_cuts,
     )
 
     wide_rows = duckdb.sql(
@@ -916,6 +945,7 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
         ("fisher_jenks", [float(c) for c in fj]),
         ("natural_breaks", nb_cuts(uniq_v, uniq_c.astype(np.float64))),
         ("jenks_caspall", _jenks_caspall_cuts(uniq_v, uniq_c.astype(np.float64), 5)),
+        ("max_p", _max_p_cuts(uniq_v, uniq_c.astype(np.float64), 5)),
     ]:
         kk = len(cuts)
         for gid, v in zip(cg, cv):

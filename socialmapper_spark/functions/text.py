@@ -12,10 +12,48 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny stopword inventories for the n-gram language heuristic. Matched as
-# ' word '-padded substrings so both Spark and DuckDB evaluate identically.
+# Stopword inventories for the language heuristic. Matched as ' word '-
+# padded substrings so both Spark and DuckDB evaluate identically.
 EN_MARKERS = ["the", "and", "of", "to", "is", "in"]
 ES_MARKERS = ["el", "la", "de", "que", "los", "una"]
+
+# --- deterministic ≥10-language classifier tables ---------------------------
+# Latin-script languages: distinctive high-frequency stopwords per language
+# (shared words like 'de' deliberately avoided where possible; residual
+# overlaps resolve by the documented priority order). Non-Latin languages:
+# Unicode script ranges counted per character.
+LATIN_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "was", "that", "with", "this"],
+    "es": ["que", "los", "las", "una", "para", "como"],
+    "fr": ["les", "des", "est", "dans", "pour", "une"],
+    "de": ["der", "und", "nicht", "das", "ein", "ist"],
+    "it": ["che", "della", "per", "sono", "anche", "gli"],
+    "pt": ["não", "uma", "com", "mais", "são", "você"],
+    "nl": ["het", "van", "een", "niet", "met", "voor"],
+}
+LATIN_PRIORITY = ["en", "es", "fr", "de", "it", "pt", "nl"]
+
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "ja": [(0x3040, 0x309F), (0x30A0, 0x30FF)],  # hiragana + katakana
+    "ko": [(0xAC00, 0xD7AF)],  # hangul syllables
+    "zh": [(0x4E00, 0x9FFF)],  # CJK unified (after the kana test — Japanese
+    #                            text contains kanji, so kana wins first)
+    "ru": [(0x0400, 0x04FF)],  # cyrillic
+    "el": [(0x0370, 0x03FF)],  # greek
+    "he": [(0x0590, 0x05FF)],  # hebrew
+    "ar": [(0x0600, 0x06FF)],  # arabic
+    "hi": [(0x0900, 0x097F)],  # devanagari
+}
+SCRIPT_PRIORITY = ["ja", "ko", "zh", "ru", "el", "he", "ar", "hi"]
+SCRIPT_MIN_CHARS = 2  # one stray char must not flip a Latin document
+
+
+def script_char_class(lang: str) -> str:
+    """Regex char class for a script language — literal range characters,
+    valid in BOTH Java regex (Spark) and RE2 (DuckDB)."""
+    return "[" + "".join(
+        f"{chr(a)}-{chr(b)}" for a, b in SCRIPT_RANGES[lang]
+    ) + "]"
 
 # BPE-ish token regex: letter runs, digit runs, or single non-space symbol.
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
@@ -42,15 +80,64 @@ def _marker_hits(text: Column, markers: list[str]) -> Column:
 
 
 def language_id(text: Column) -> Column:
-    """Heuristic language ID: 'en' vs 'es' by distinct marker-word presence,
-    ties → 'en', no markers at all → 'und'."""
-    en = _marker_hits(text, EN_MARKERS)
-    es = _marker_hits(text, ES_MARKERS)
-    return (
-        F.when((en == 0) & (es == 0), F.lit("und"))
-        .when(en >= es, F.lit("en"))
-        .otherwise(F.lit("es"))
+    """Deterministic 15-language classifier (training-data language gate),
+    pure Catalyst with an exact DuckDB SQL twin:
+
+    1. Script pass — count characters per Unicode script range; the first
+       script in SCRIPT_PRIORITY with ≥ SCRIPT_MIN_CHARS wins (kana
+       before CJK so Japanese beats the kanji it shares with Chinese).
+    2. Latin pass — per-language distinct-stopword hits; winner = the
+       FIRST language in LATIN_PRIORITY achieving the maximum hit count
+       (argmax with earlier-priority tie-break), provided the max > 0.
+       Expressed as array_max + array_position over ONE hits array so
+       each language's hit count appears once — the pairwise-comparison
+       form duplicates every count O(L²) times and blows whole-stage
+       codegen past janino's 64KB method limit (silent fallback to
+       interpreted eval, a real throughput cliff on a corpus-scale gate).
+    3. Nothing matched → 'und'.
+    """
+    out = None
+    for lang in SCRIPT_PRIORITY:
+        cnt = F.regexp_count(text, F.lit(script_char_class(lang)))
+        cond = cnt >= SCRIPT_MIN_CHARS
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    hits_arr = F.array(*[_marker_hits(text, LATIN_MARKERS[lang]) for lang in LATIN_PRIORITY])
+    mx = F.array_max(hits_arr)
+    pick = F.element_at(
+        F.array(*[F.lit(lang) for lang in LATIN_PRIORITY]),
+        F.array_position(hits_arr, mx).cast("int"),
     )
+    return out.when(mx > 0, pick).otherwise(F.lit("und"))
+
+
+def language_id_sql(text_expr: str = "text") -> str:
+    """The DuckDB twin of :func:`language_id`, generated from the SAME
+    marker/range tables so the two dialects cannot drift."""
+    branches = []
+    for lang in SCRIPT_PRIORITY:
+        pat = script_char_class(lang).replace("'", "''")
+        branches.append(
+            f"when len(regexp_extract_all({text_expr}, '{pat}')) >= "
+            f"{SCRIPT_MIN_CHARS} then '{lang}'"
+        )
+
+    def hits_sql(lang: str) -> str:
+        parts = [
+            "(case when contains(' ' || lower(" + text_expr + ") || ' ', ' "
+            + m.replace("'", "''")
+            + " ') then 1 else 0 end)"
+            for m in LATIN_MARKERS[lang]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    arr = "[" + ", ".join(hits_sql(lang) for lang in LATIN_PRIORITY) + "]"
+    names = "[" + ", ".join(f"'{lang}'" for lang in LATIN_PRIORITY) + "]"
+    # same array-argmax as the Spark side: list_position returns the FIRST
+    # 1-based index of the max (= earlier-priority tie-break), [] is 1-based
+    branches.append(
+        f"when list_max({arr}) > 0 then ({names})[list_position({arr}, list_max({arr}))]"
+    )
+    return "case " + " ".join(branches) + " else 'und' end"
 
 
 def quality_score_cols(text: Column) -> dict[str, Column]:

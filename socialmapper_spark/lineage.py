@@ -30,26 +30,56 @@ LINEAGE_SCHEMA = (
 )
 
 
-def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
-    """Deterministic bucket id from a key column (content-addressed)."""
-    return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
-    )
+def with_bucket(
+    df: DataFrame, key_col: str, n_buckets: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Deterministic bucket id from a key column (content-addressed).
+
+    ``hash_fn``: "xxhash64" (default — fastest, pure JVM) or "md5" (the
+    repo's cross-engine 60-bit md5 primitive, dedup.py — bit-reproducible
+    in DuckDB/Python, so the whole lineage row becomes SQL-oracle-able;
+    md5-60 is non-negative so plain modulo matches across engines)."""
+    if hash_fn == "md5":
+        from socialmapper_spark.operators.dedup import _md5_hash60
+
+        h = _md5_hash60(0, F.col(key_col).cast("string"))
+    else:
+        h = F.xxhash64(F.col(key_col))
+    return df.withColumn("bucket", F.pmod(h, F.lit(n_buckets)).cast("int"))
 
 
 def bucket_stats(
-    df: DataFrame, stage: str, checksum_cols: list[str], cell_col: str | None = None
+    df: DataFrame,
+    stage: str,
+    checksum_cols: list[str],
+    cell_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Per-bucket lineage rows for a bucketed DataFrame."""
+    """Per-bucket lineage rows for a bucketed DataFrame.
+
+    With ``hash_fn="md5"`` the row checksum is the XOR fold of the md5-60
+    hash of the checksum columns joined by chr(31) — reproducible in
+    DuckDB (``bit_xor(cast(('0x' || substr(md5(...),1,15)) as bigint))``),
+    which is what gives ``lineage_stats`` a full SQL oracle. Checksum
+    columns must be non-null for the md5 path (concat_ws skips nulls in
+    Spark but || propagates them in DuckDB)."""
     cell_min = F.min(cell_col) if cell_col else F.max(F.lit(None).cast("long"))
     cell_max = F.max(cell_col) if cell_col else F.max(F.lit(None).cast("long"))
+    if hash_fn == "md5":
+        from socialmapper_spark.operators.dedup import _md5_hash60
+
+        cs = _md5_hash60(
+            0, F.concat_ws("\x1f", *[F.col(c).cast("string") for c in checksum_cols])
+        )
+        df = df.withColumn("__cs", cs)
+        checksum = F.expr("bit_xor(__cs)")
+    else:
+        checksum = F.expr("bit_xor(xxhash64(" + ", ".join(checksum_cols) + "))")
     agg = df.groupBy("bucket").agg(
         cell_min.alias("cell_min"),
         cell_max.alias("cell_max"),
         F.count("*").alias("row_count"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join(checksum_cols) + "))"
-        ).alias("checksum"),
+        checksum.alias("checksum"),
     )
     # literal columns added OUTSIDE the aggregate (literal aliases inside
     # agg() trip a Catalyst binding bug under exceptAll in Spark 4.1)

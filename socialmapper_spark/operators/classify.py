@@ -34,8 +34,14 @@ aggregate, broadcast, assign by comparison":
   seeding, then move every value to the class with the nearest mean
   until a fixed point (the published J-C forced-move loop, which has no
   randomness), over the same distinct-value histogram.
-- ``max_p_classifier`` — not implemented (randomized multi-start
-  optimization mapclassify does not pin; viz-only per SURVEY.md).
+- ``max_p_classifier`` — deterministic twin: mapclassify's MaxP is a
+  randomized multi-start greedy (initial=1000 random seed orders + a
+  swap phase) whose fit criterion is the sum of absolute deviations
+  about class medians; the twin computes the EXACT optimum of that same
+  L1 objective with a DP over the distinct-value histogram (same shape
+  as fisher_jenks, L1 segment cost via weighted medians). Deterministic
+  and at-least-as-good fit by construction; documented divergence, the
+  same pinning strategy as ``natural_breaks``.
 
 Output convention matches stats.quantile_bins: (geoid, value, bin) with
 1-based bins.
@@ -78,7 +84,9 @@ def _assign(vals: DataFrame, cuts: list[float]) -> DataFrame:
 
 
 def _ranked(vals: DataFrame):
-    """Distributed global rank — shared kernel in operators.stats."""
+    """Distributed global rank — shared kernel in operators.stats.
+    Returns (ranked, n, persist_handle); callers must unpersist the
+    handle once every rank-reading action has run."""
     from socialmapper_spark.operators.stats import global_rank
 
     return global_rank(vals)
@@ -118,19 +126,39 @@ def _hist_cuts_or_empty(vals: DataFrame, cut_fn, k: int, sample_cap=None):
     return _assign(vals, cut_fn(values, counts, k))
 
 
+# Driver-side histogram ceiling. The DP/Lloyd classifiers that consume the
+# histogram are O(k·U²)/O(k·U·iters), so the cap is sized for driver compute
+# as much as for collect volume: 10k distinct values keeps the Fisher-Jenks
+# DP ~1-2 s while still being far denser than any choropleth needs (k ≤ 13
+# classes). Census-style variables (U ≤ a few thousand) never hit it.
+AUTO_DISTINCT_CAP = 10_000
+
+
 def _distinct_hist(vals: DataFrame, sample_cap: int | None = None):
     """(values, counts) of the distinct-value histogram, driver-side.
-    The aggregate is distributed; only U distinct rows are collected —
-    the bounded prep a 1-D optimal classifier needs. ``sample_cap``
-    hash-samples rows first (fisher_jenks_sampled; deterministic)."""
-    df = vals
-    if sample_cap is not None:
-        n = df.count()
-        if n > sample_cap:
-            df = df.filter(
-                F.pmod(F.xxhash64(F.col("geoid").cast("string")), F.lit(-(-n // sample_cap))) == 0
-            )
-    rows = df.groupBy("value").count().orderBy("value").collect()
+
+    The aggregate is distributed and the collect is HARD-BOUNDED BY
+    DEFAULT: at most ``cap`` (``sample_cap`` or ``AUTO_DISTINCT_CAP``)
+    distinct-value rows ever reach the driver, via hash-ordered
+    ``orderBy(xxhash64).limit(cap)`` — Spark's TakeOrdered, a distributed
+    per-partition heap, so it is a guarantee (not an expected sample
+    size), needs no separate ``count()`` action, and is deterministic.
+    When U ≤ cap the result is exactly the full histogram (the limit is a
+    no-op), so small/census-style inputs are bit-identical to an uncapped
+    collect. When U > cap the kept values are a uniform hash sample with
+    their true counts — a weighted sub-histogram, the same taming
+    mapclassify's sampled FisherJenks applies. On a continuous column at
+    corpus scale U≈n; without the cap this would be an unbounded driver
+    collect in disguise."""
+    cap = AUTO_DISTINCT_CAP if sample_cap is None else sample_cap
+    rows = (
+        vals.groupBy("value")
+        .count()
+        .orderBy(F.xxhash64(F.col("value").cast("string")).asc(), F.col("value").asc())
+        .limit(cap)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["value"])
     return (
         np.array([r["value"] for r in rows], dtype=np.float64),
         np.array([r["count"] for r in rows], dtype=np.float64),
@@ -182,9 +210,12 @@ def percentile_bins(
     """Percentiles: cuts at the given percentiles (mapclassify default
     [1, 10, 50, 90, 99, 100])."""
     vals = _vals(census_wide, variable)
-    ranked, n = _ranked(vals)
+    ranked, n, handle = _ranked(vals)
     cuts = _percentile_cuts(ranked, n, list(pcts))
-    return _assign(ranked, cuts)
+    handle.unpersist()
+    # assignment needs only the cuts — build the returned plan on the raw
+    # input (narrow scan), not the rank-carrying cached frame
+    return _assign(vals, cuts)
 
 
 def box_plot_bins(
@@ -193,16 +224,18 @@ def box_plot_bins(
     """BoxPlot: [q25 − h·IQR, q25, q50, q75, q75 + h·IQR] (+max if any
     high outliers) — 5 or 6 classes."""
     vals = _vals(census_wide, variable)
-    ranked, n = _ranked(vals)
+    ranked, n, handle = _ranked(vals)
     if n == 0:
-        return _assign(ranked, [])
+        handle.unpersist()
+        return _assign(vals, [])
     q25, q50, q75 = _percentile_cuts(ranked, n, [25.0, 50.0, 75.0])
+    mx = ranked.agg(F.max("value")).collect()[0][0]  # reads the cache
+    handle.unpersist()
     iqr = q75 - q25
     cuts = [q25 - hinge * iqr, q25, q50, q75, q75 + hinge * iqr]
-    mx = vals.agg(F.max("value")).collect()[0][0]
     if mx > cuts[-1]:
         cuts.append(float(mx))
-    return _assign(ranked, cuts)
+    return _assign(vals, cuts)
 
 
 def defined_interval_bins(
@@ -224,7 +257,7 @@ def maximum_breaks_bins(
     driver exchange (per-partition min/max). Gap ties break toward the
     larger value (deterministic; mapclassify's argsort order)."""
     vals = _vals(census_wide, variable)
-    ranked, _ = _ranked(vals)
+    ranked, _, handle = _ranked(vals)
     w = Window.partitionBy("__pid").orderBy(F.col("value").asc(), F.col("geoid").asc())
     lagged = ranked.withColumn("__prev", F.lag("value").over(w))
     in_gaps = (
@@ -242,8 +275,9 @@ def maximum_breaks_bins(
         .orderBy("__pid")
         .collect()
     )
+    handle.unpersist()
     if not edges:  # empty/all-null input
-        return _assign(ranked, [])
+        return _assign(vals, [])
     gaps = [(r["__gap"], r["value"], r["__prev"]) for r in in_gaps]
     for a, b in zip(edges, edges[1:]):
         if b["lo"] > a["hi"]:
@@ -252,7 +286,7 @@ def maximum_breaks_bins(
     cuts = sorted((prev + val) / 2.0 for _, val, prev in gaps[: k - 1])
     mx = max(e["hi"] for e in edges) if edges else 0.0
     cuts.append(float(mx))
-    return _assign(ranked, cuts)
+    return _assign(vals, cuts)
 
 
 def head_tail_bins(
@@ -280,6 +314,7 @@ def head_tail_bins(
         cuts.append(float(m))
         head = head.filter(F.col("value") > F.lit(float(m)))
     mx = vals.agg(F.max("value")).collect()[0][0]
+    vals.unpersist()  # cuts are final — the assignment below rescans once
     if mx is not None and (not cuts or mx > cuts[-1]):
         cuts.append(float(mx))
     return _assign(vals, cuts)
@@ -370,6 +405,63 @@ def jenks_caspall_bins(
     fisher_jenks: a bounded groupBy-collect, never a row collect)."""
     vals = _vals(census_wide, variable)
     return _hist_cuts_or_empty(vals, _jenks_caspall_cuts, k)
+
+
+def _max_p_cuts(values: np.ndarray, counts: np.ndarray, k: int) -> list[float]:
+    """Exact DP minimizing Σ within-class absolute deviation about the
+    weighted class median — mapclassify MaxP's fit criterion, optimized
+    exactly instead of via its randomized multi-start greedy. O(k·U²)
+    time like the Fisher-Jenks DP; the L1 segment cost is closed-form
+    from prefix sums once the weighted median index is found
+    (vectorized searchsorted)."""
+    u = len(values)
+    k = min(k, u)
+    cw = np.concatenate([[0.0], np.cumsum(counts)])
+    cwx = np.concatenate([[0.0], np.cumsum(counts * values)])
+
+    def seg_cost(a: np.ndarray, b: int) -> np.ndarray:
+        # L1 cost of classes spanning values[a..b] inclusive (vector in a)
+        W = cw[b + 1] - cw[a]
+        half = cw[a] + W / 2.0
+        # smallest m with cum count through m >= half the class weight
+        m = np.searchsorted(cw, half, side="left") - 1
+        m = np.clip(m, a, b)
+        vm = values[m]
+        Wl = cw[m + 1] - cw[a]
+        Sl = cwx[m + 1] - cwx[a]
+        S = cwx[b + 1] - cwx[a]
+        return vm * Wl - Sl + (S - Sl) - vm * (W - Wl)
+
+    D = np.full((k + 1, u), np.inf)
+    B = np.zeros((k + 1, u), dtype=np.int64)
+    zeros = np.zeros(u, dtype=np.int64)
+    D[1] = np.array([seg_cost(zeros[: 1], i)[0] for i in range(u)])
+    for j in range(2, k + 1):
+        for i in range(j - 1, u):
+            ms = np.arange(j - 2, i)  # last index of previous class
+            c = D[j - 1][ms] + seg_cost(ms + 1, i)
+            am = int(np.argmin(c))
+            D[j][i] = c[am]
+            B[j][i] = ms[am] + 1
+    cuts = [float(values[u - 1])]
+    i, j = u - 1, k
+    while j > 1:
+        start = B[j][i]
+        cuts.append(float(values[start - 1]))
+        i, j = start - 1, j - 1
+    return sorted(cuts)
+
+
+def max_p_bins(
+    census_wide: DataFrame, variable: str = "B19013_001E", k: int = 5
+) -> DataFrame:
+    """MaxP classification (F16 scheme 13/13,
+    reference visualization/config.py:63 MAX_P_CLASSIFIER) —
+    deterministic exact-L1-DP twin of mapclassify's randomized MaxP; see
+    the module docstring for the divergence rationale. Same bounded
+    histogram prep as fisher_jenks."""
+    vals = _vals(census_wide, variable)
+    return _hist_cuts_or_empty(vals, _max_p_cuts, k)
 
 
 def natural_breaks_bins(

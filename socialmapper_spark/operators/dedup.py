@@ -116,7 +116,10 @@ def winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
     """
     import re
 
-    norm = re.sub(r"\s+", " ", text, flags=re.ASCII).strip().lower()
+    # .strip(' ') not .strip(): F.trim removes ASCII space only, while
+    # Python's bare strip() removes Unicode whitespace (NBSP at string
+    # edges survives the ASCII \s collapse and must survive here too)
+    norm = re.sub(r"\s+", " ", text, flags=re.ASCII).strip(' ').lower()
     if len(norm) > k:
         grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
     else:
@@ -227,6 +230,126 @@ def jaccard_verify(
     return joined.select(
         "doc_a", "doc_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# near-dup GROUPS — connected components over the verified pair set
+# ---------------------------------------------------------------------------
+
+def dedup_groups(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected-component grouping of verified near-dup pairs →
+    ``(doc_id, group_id, is_canonical)`` — the keep/drop decision table a
+    dedup pipeline actually consumes (pairs are only the intermediate).
+
+    Algorithm: iterative hash-to-min label propagation — every node's
+    label becomes the min(label) over itself and its neighbors, repeated
+    to a fixed point. Deterministic (labels are data values, never
+    partition-dependent), so results are salt/partitioning-invariant.
+    group_id = the component's minimum doc_id; is_canonical marks the
+    kept representative (the reference's dedup keeps min-id too,
+    operators/census.py A2).
+
+    Scale shape: each iteration is two hash joins + a map-side-combinable
+    min aggregate, all keyed on doc_id — no driver state beyond the 1-row
+    convergence count. Iterations = component diameter; near-dup
+    components are tiny dense cliques (diameter ≤ 2-3 — band-sharing is
+    near-transitive), so the loop converges in 2-4 rounds. For general
+    graphs with long chains swap in alternating large-star/small-star
+    (O(log n) rounds, same join shapes); for this operator's contract
+    hash-min is the simpler, equally-parallel choice. If ``docs`` is
+    given, docs absent from any pair come out as singleton groups
+    (their own canonical).
+    """
+    sym = (
+        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("peer"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("peer"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select("node").distinct().withColumn("label", F.col("node"))
+        # eager localCheckpoint: materialize AND truncate the logical plan.
+        # Iterative self-joins double the lineage every round (labels feeds
+        # both join inputs) — with persist() alone the analyzer still walks
+        # the full 2^iter tree and a ~10-iteration chain blows the plan up.
+        # Checkpointing each fixed-point state keeps the plan O(1) per
+        # iteration; superseded checkpoint blocks are dropped by Spark's
+        # ContextCleaner once the frame reference is released.
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # alias-qualify both sides: labels descends from sym, so unqualified
+        # column refs would be flagged as an ambiguous self-join
+        nbr = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.peer") == F.col("l.node"))
+            .select(F.col("e.node").alias("n"), F.col("l.label").alias("label"))
+            .groupBy("n")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.alias("a")
+            .join(nbr.alias("b"), F.col("a.node") == F.col("b.n"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("b.nbr_label"), F.col("a.label"))
+                ).alias("label"),
+                (F.col("b.nbr_label") < F.col("a.label")).alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("group_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+    if docs is not None:
+        singles = docs.select(id_col).join(
+            labels.select(F.col("node").alias(id_col)), id_col, "left_anti"
+        )
+        out = out.unionByName(
+            singles.select(
+                id_col,
+                F.col(id_col).alias("group_id"),
+                F.lit(True).alias("is_canonical"),
+            )
+        )
+    sym.unpersist()
+    # the returned plan reads the final localCheckpoint (fixed-point
+    # content); its blocks are released when the frame reference drops
+    return out
+
+
+def dedup_groups_py(pairs: list[tuple[int, int]], all_ids=None):
+    """Union-find twin of :func:`dedup_groups` (goldens/tests)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = set(parent)
+    if all_ids is not None:
+        ids |= set(all_ids)
+    return sorted((i, find(i), i == find(i)) for i in ids)
 
 
 # ---------------------------------------------------------------------------

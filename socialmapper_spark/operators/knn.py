@@ -140,6 +140,28 @@ def knn_join(
         n_pois, area_km2, mean_abs_lat = _poi_stats(poi_sdf)
     if strategy == "auto":
         strategy = "broadcast" if n_pois <= AUTO_BROADCAST_MAX_POIS else "kring"
+    if strategy == "kring" and rings is None:
+        # density-adaptive degrade: _auto_rings targets a reach holding
+        # ~4k POIs, but its caps (ring radius ≤ 16, broadcast rows ≤ 5M)
+        # can leave the actual reach far short on a sparse POI table. If
+        # the expected POI count inside the capped, guard-provable disk is
+        # < 2k, the exactness guard will fail for most points and nearly
+        # the whole probe side rides the brute-force fallback — the ring
+        # machinery (explode, candidate join, stats, semi+anti joins)
+        # becomes pure overhead on top of the crossJoin it was meant to
+        # avoid. Emitting the broadcast plan directly is then the better
+        # physical strategy for the SAME exact semantics (cost-based
+        # selection, not an approximation). Dense corpora — the 100 TB
+        # design point where pruning pays — keep the true kring plan, as
+        # does any caller pinning `rings` explicitly.
+        rings = _auto_rings(n_pois, area_km2, mean_abs_lat, k)
+        edge_km = (
+            cell_size_deg(KNN_RES) * 110.57 * float(np.cos(np.deg2rad(mean_abs_lat)))
+        )
+        provable_reach_km = rings * edge_km * 0.9  # the guard's own margin
+        expected_in_reach = n_pois / area_km2 * np.pi * provable_reach_km**2
+        if expected_in_reach < 2.0 * k:
+            strategy = "broadcast"
 
     # prune to the three columns the join needs BEFORE the Arrow
     # projection: the probe side often carries wide payload columns
@@ -239,15 +261,24 @@ def knn_join(
         F.lit(rings * edge * 110000.0 * 0.9)
         * F.cos(F.radians(F.least(F.abs(F.col("__plat")) + F.lit(1.0), F.lit(89.0))))
     )
-    stats = near.groupBy(id_col).agg(
-        F.count("*").alias("__n"),
-        F.max("distance_km").alias("__dk"),
-        F.min("__plat").alias("__plat"),
-    )
-    proven = stats.filter(
-        (F.col("__n") >= k) & (F.col("__dk") * 1000.0 <= bound_m)
-    ).select(id_col)
-    covered = near.drop("__plat").join(proven, id_col, "left_semi")
+    if k == 1:
+        # top-1 fast path: `near` holds exactly one row per point with its
+        # best distance, so the guard (≥k candidates AND kth distance
+        # inside the provable bound) is a NARROW per-row filter on `near`
+        # itself — no stats aggregate, no semi-join shuffle
+        ok = F.col("distance_km") * 1000.0 <= bound_m
+        covered = near.filter(ok).drop("__plat")
+        proven = near.filter(ok).select(id_col)
+    else:
+        stats = near.groupBy(id_col).agg(
+            F.count("*").alias("__n"),
+            F.max("distance_km").alias("__dk"),
+            F.min("__plat").alias("__plat"),
+        )
+        proven = stats.filter(
+            (F.col("__n") >= k) & (F.col("__dk") * 1000.0 <= bound_m)
+        ).select(id_col)
+        covered = near.drop("__plat").join(proven, id_col, "left_semi")
     missing = pts.join(proven, id_col, "left_anti")
     fallback = finish(missing.crossJoin(F.broadcast(poi_xy)))
     return covered.unionByName(fallback)

@@ -61,8 +61,8 @@ def cosine_topk(
     well below any real similarity gap).
     """
     qrows = {
-        r[id_col]: list(r[vec_col])
-        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
+        qid: [float(x) for x in v]
+        for qid, v in _collect_queries(embeddings, query_ids, id_col, vec_col).items()
     }
     per_query = []
     for qid in query_ids:
@@ -114,27 +114,59 @@ def cosine_topk_many(
     Scale shape: scan → narrow mapInPandas (no shuffle) → shuffle of
     ≤ partitions·|Q|·(k+margin) candidate rows → per-query window.
     """
+    qrows = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    return _heap_topk_many(
+        spark, embeddings.select(id_col, vec_col), list(query_ids), qrows,
+        k, margin, id_col, vec_col,
+    )
+
+
+def _heap_topk_many(
+    spark: SparkSession,
+    candidates: DataFrame,
+    query_ids: list[int],
+    qrows: dict[int, np.ndarray],
+    k: int,
+    margin: int,
+    id_col: str,
+    vec_col: str,
+    key_col: str | None = None,
+    probes: dict[int, frozenset] | None = None,
+) -> DataFrame:
+    """The shared many-query heap kernel: ONE scan of ``candidates``, a
+    broadcast query matrix, per-partition top-(k+margin) pools, then a
+    per-query window for the final cut. Plan size is O(1) in |Q|.
+
+    With ``key_col``/``probes`` set (the pruned ANN forms), a row is a
+    candidate for query q only when its key ∈ probes[q] — the per-query
+    bucket/list restriction applied INSIDE the one scan instead of as one
+    filtered plan branch per query. The caller pre-filters the scan to
+    the union of all probe keys so partition pruning still applies.
+
+    Bit-parity with the per-query Catalyst forms: dot/norm accumulate
+    dimension-sequentially (the exact fold order of the ``aggregate``
+    expression) and the same HALF_UP 9 dp rounding is applied, so emitted
+    cosines are identical; only a >``margin``-way tie inside 5e-10 at the
+    k boundary could reorder the cut (documented, unpinned — real
+    embeddings never get there).
+    """
     from decimal import ROUND_HALF_UP, Decimal
 
-    qrows = {
-        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
-        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
-    }
-    missing = [qid for qid in query_ids if qid not in qrows]
-    if missing:
-        raise ValueError(f"query ids not found in {id_col}: {missing}")
     qmat = np.stack([qrows[qid] for qid in query_ids])  # (Q, D)
     # np.dot per query — the exact qn arithmetic of cosine_topk/the golden
     qns = np.array(
         [float(np.sqrt(np.dot(qrows[qid], qrows[qid]))) for qid in query_ids]
     )
-    qids = list(query_ids)
-    bc = spark.sparkContext.broadcast((qids, qmat, qns))
+    probe_sets = (
+        [probes[qid] for qid in query_ids] if probes is not None else None
+    )
+    bc = spark.sparkContext.broadcast((list(query_ids), qmat, qns, probe_sets))
     keep = k + margin
     q9 = Decimal("0.000000001")
+    cols = [id_col, vec_col] + ([key_col] if key_col else [])
 
     def gen(batches):
-        b_qids, b_qmat, b_qns = bc.value
+        b_qids, b_qmat, b_qns, b_probes = bc.value
         nq, dim = b_qmat.shape
         # per-query candidate pools for this partition
         pool_cos: list[list[float]] = [[] for _ in range(nq)]
@@ -143,6 +175,7 @@ def cosine_topk_many(
             if len(pdf) == 0:  # empty partitions yield empty batches
                 continue
             ids = pdf[id_col].to_numpy()
+            keys = pdf[key_col].to_numpy() if b_probes is not None else None
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             # dimension-sequential accumulation == the Catalyst fold order
             acc = np.zeros((mat.shape[0], nq))
@@ -154,6 +187,9 @@ def cosine_topk_many(
             for j, qid in enumerate(b_qids):
                 cj = cos[:, j]
                 mask = ids != qid
+                if b_probes is not None:
+                    pj = b_probes[j]
+                    mask &= np.array([kk in pj for kk in keys])
                 cj, idj = cj[mask], ids[mask]
                 if len(cj) > keep:
                     # lexsort keeps the (cosine desc, vec_id asc) boundary
@@ -178,7 +214,7 @@ def cosine_topk_many(
                 rows.append((qid, int(idj[i]), c))
         yield pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
 
-    cand = embeddings.select(id_col, vec_col).mapInPandas(
+    cand = candidates.select(*cols).mapInPandas(
         gen, "query_id long, vec_id long, cosine double"
     )
     from pyspark.sql import Window
@@ -196,6 +232,22 @@ def cosine_topk_many(
 def _planes(dim: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
+
+
+def _collect_queries(
+    embeddings: DataFrame, query_ids: list[int], id_col: str, vec_col: str
+) -> dict[int, np.ndarray]:
+    """Collect the |Q| query vectors once (bounded — queries are few).
+    Shared by every ANN entry point so a caller composing two paths pays
+    one collection, not two."""
+    qrows = {
+        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
+        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    missing = [qid for qid in query_ids if qid not in qrows]
+    if missing:
+        raise ValueError(f"query ids not found in {id_col}: {missing}")
+    return qrows
 
 
 def lsh_bucket_py(vec: np.ndarray, planes: np.ndarray) -> int:
@@ -272,6 +324,28 @@ def ivf_assignment_scores(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.round(d2, 6)
 
 
+def _ivf_train(
+    embeddings: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Bounded, count-free training collect: deterministic hash-ordered
+    top-IVF_TRAIN_CAP (TakeOrdered — a distributed heap, no full sort, no
+    separate ``count()`` action to size a modulus). Collected rows are
+    re-sorted by id driver-side so that whenever n ≤ cap the training
+    matrix is exactly the id-ordered full corpus — the same matrix the
+    oracle twin trains on."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        .limit(IVF_TRAIN_CAP)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    train = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return train_ivf_centroids(train, nlist)
+
+
 def ivf_ann_topk(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -293,23 +367,7 @@ def ivf_ann_topk(
     rerank. The list id doubles as a partition/bucket key at 100 TB scale
     (write the table clustered by it and probing prunes whole files).
     """
-    n = embeddings.count()
-    train_df = embeddings.select(id_col, vec_col)
-    if n > IVF_TRAIN_CAP:
-        # ceiling modulus: keeps the expected sample ≤ IVF_TRAIN_CAP (a
-        # floor modulus passes up to 2× the cap — and EVERY row while
-        # n < 2×cap, where floor(n/cap) == 1)
-        train_df = train_df.filter(
-            F.pmod(
-                F.xxhash64(F.col(id_col).cast("string")),
-                F.lit(-(-n // IVF_TRAIN_CAP)),
-            )
-            == 0
-        )
-    train = np.array(
-        [list(r[vec_col]) for r in train_df.orderBy(id_col).collect()], dtype=np.float64
-    )
-    cent = train_ivf_centroids(train, nlist)
+    cent = _ivf_train(embeddings, nlist, id_col, vec_col)
     bc = spark.sparkContext.broadcast(cent)
 
     @pandas_udf("int")
@@ -320,13 +378,7 @@ def ivf_ann_topk(
 
     listed = embeddings.withColumn("ivf_list", list_id(F.col(vec_col)))
 
-    qrows = {
-        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
-        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
-    }
-    missing = [qid for qid in query_ids if qid not in qrows]
-    if missing:
-        raise ValueError(f"query ids not found in {id_col}: {missing}")
+    qrows = _collect_queries(embeddings, query_ids, id_col, vec_col)
     per_query = []
     for qid in query_ids:
         q = qrows[qid]
@@ -360,8 +412,11 @@ def ivf_ann_topk(
     )
 
 
-NEAR_DUP_BITS = 6
+NEAR_DUP_BITS = 6  # kept: legacy single-table bucket width (tests compare)
 NEAR_DUP_THRESHOLD = 0.35
+NEAR_DUP_TABLES = 4  # B independent hyperplane tables
+NEAR_DUP_BAND_BITS = 8  # r sign bits per table → 256 buckets/table
+NEAR_DUP_MAX_BUCKET = 1000  # hot-bucket cap (same guard as MinHash bands)
 
 
 def _pair_dot_expr(a: F.Column, b: F.Column) -> F.Column:
@@ -373,34 +428,101 @@ def _pair_dot_expr(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def band_keys_py(vec: np.ndarray, planes: np.ndarray, tables: int, bits: int) -> list[int]:
+    """Per-table band keys of one vector (scalar twin for goldens/tests).
+    ``planes`` is the (tables·bits, dim) matrix; table t owns rows
+    [t·bits, (t+1)·bits)."""
+    signs = planes @ np.asarray(vec, dtype=np.float64) > 0.0
+    w = 1 << np.arange(bits)
+    return [int((signs[t * bits : (t + 1) * bits] * w).sum()) for t in range(tables)]
+
+
+def lsh_band_keys(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = NEAR_DUP_TABLES,
+    bits: int = NEAR_DUP_BAND_BITS,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per hyperplane table, the
+    sign-bit analog of :func:`dedup.minhash_bands`. One Arrow-batched
+    matrix multiply per batch; the explode is narrow (tables ≤ 8)."""
+    planes = _planes(dim, tables * bits, seed)
+    bc = spark.sparkContext.broadcast(planes)
+
+    @pandas_udf("array<int>")
+    def keys(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        signs = mat @ bc.value.T > 0.0  # (batch, tables·bits)
+        w = (1 << np.arange(bits)).astype(np.int64)
+        per_table = [
+            (signs[:, t * bits : (t + 1) * bits] @ w).astype(np.int32)
+            for t in range(tables)
+        ]
+        arr = np.stack(per_table, axis=1)  # (batch, tables)
+        return pd.Series(list(arr))
+
+    keyed = embeddings.select(id_col, keys(F.col(vec_col)).alias("__keys"))
+    return keyed.select(
+        id_col, F.posexplode("__keys").alias("band_idx", "band_key")
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession,
     embeddings: DataFrame,
     threshold: float = NEAR_DUP_THRESHOLD,
-    bits: int = NEAR_DUP_BITS,
+    tables: int = NEAR_DUP_TABLES,
+    bits: int = NEAR_DUP_BAND_BITS,
+    max_bucket: int = NEAR_DUP_MAX_BUCKET,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (build mandate: embedding
-    near-dup dedup): LSH-bucket the corpus with ``bits`` hyperplanes, pair
-    vectors within each bucket, keep pairs with exact cosine ≥ threshold.
+    """Embedding-cosine near-duplicate pairs — banded multi-table LSH
+    (the MinHash band trick applied to hyperplane sign bits): B
+    independent tables of r bits each; candidates are pairs sharing a
+    full r-bit key in ANY table; exact fold-cosine ≥ threshold verifies.
 
-    Scale shape: the self-join shuffles BOTH sides on the bucket id only —
-    a 2^bits-ary partition of the corpus — then the cosine is a pure
-    Catalyst fold on the joined rows. Candidate count is Σ n_b² over
-    buckets, the standard LSH trade (recall vs quadratic blowup); ``bits``
-    tunes it. Deterministic (seeded planes), so the pure-Python twin in
-    fixtures reproduces the exact row set.
+    Why banded (vs the earlier single 6-bit table): with one table the
+    corpus lands in only 2^bits buckets, so within-bucket pairing
+    degenerates toward n²/2^bits at corpus scale, and raising bits alone
+    trades recall away (P[all bits agree] = p^bits). B tables of r bits
+    give P[candidate] = 1−(1−p^r)^B — at p=0.9: single-6-bit 0.53 vs
+    4×8-bit 0.90 recall — while each table's 2^r-way split plus the
+    ``max_bucket`` hot-bucket cap bounds Σ n_b² per table. Same guard,
+    same shape, same skew story as ``near_dup_pairs_minhash``
+    (dedup.py): candidate generation shuffles only (id, band_key) pairs;
+    the embedding vectors join in AFTER the candidate set is distinct
+    and small.
+
+    Deterministic (seeded planes) — the fixtures twin reproduces the
+    exact row set.
     """
     dim = len(embeddings.select(vec_col).first()[0])
-    bucketed = lsh_buckets(spark, embeddings, dim, id_col, vec_col, bits)
-    a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__emb_a")
+    bands = lsh_band_keys(
+        spark, embeddings, dim, id_col, vec_col, tables, bits
     )
-    b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__emb_b")
+    sized = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"), F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cand = (
+        sized.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__emb_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__emb_b")
+    )
+    pairs = cand.join(a, "vec_a").join(b, "vec_b")
     cos = _pair_dot_expr(F.col("__emb_a"), F.col("__emb_b")) / (
         _norm_expr(F.col("__emb_a")) * _norm_expr(F.col("__emb_b"))
     )
@@ -430,13 +552,7 @@ def lsh_ann_topk(
     planes = _planes(dim, bits)
     bucketed = lsh_buckets(spark, embeddings, dim, id_col, vec_col, bits)
 
-    qrows = {
-        r[id_col]: np.array(list(r[vec_col]), dtype=np.float64)
-        for r in embeddings.filter(F.col(id_col).isin(query_ids)).collect()
-    }
-    missing = [qid for qid in query_ids if qid not in qrows]
-    if missing:
-        raise ValueError(f"query ids not found in {id_col}: {missing}")
+    qrows = _collect_queries(embeddings, query_ids, id_col, vec_col)
     per_query = []
     for qid in query_ids:
         q = qrows[qid]
@@ -468,4 +584,79 @@ def lsh_ann_topk(
         allq.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id_m").alias("vec_id"), "cosine", "rank")
+    )
+
+
+def lsh_ann_topk_many(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_BITS,
+    margin: int = 8,
+) -> DataFrame:
+    """Many-query form of :func:`lsh_ann_topk`: the per-query probe sets
+    still prune which rows count for which query, but the plan is ONE
+    scan filtered to the UNION of all probe buckets feeding the shared
+    heap kernel (``_heap_topk_many``) with a per-query bucket mask — no
+    per-query plan branch, so 5 000 queries cost the same plan as 5.
+    Emits the exact rows of the per-query form (same probes, fold-order
+    cosine, HALF_UP rounding)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _planes(dim, bits)
+    bucketed = lsh_buckets(spark, embeddings, dim, id_col, vec_col, bits)
+    qrows = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    probes = {}
+    for qid in query_ids:
+        qb = lsh_bucket_py(qrows[qid], planes)
+        probes[qid] = frozenset([qb] + [qb ^ (1 << i) for i in range(bits)])
+    union_probe = sorted(set().union(*probes.values())) if probes else []
+    pruned = bucketed.filter(F.col("bucket").isin(union_probe))
+    return _heap_topk_many(
+        spark, pruned, list(query_ids), qrows, k, margin, id_col, vec_col,
+        key_col="bucket", probes=probes,
+    )
+
+
+def ivf_ann_topk_many(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: int = 8,
+) -> DataFrame:
+    """Many-query form of :func:`ivf_ann_topk`: same coarse quantizer and
+    per-query nprobe lists, but one scan (union of all probed lists) into
+    the shared heap kernel with a per-query list mask instead of one plan
+    branch per query. Emits the exact rows of the per-query form."""
+    cent = _ivf_train(embeddings, nlist, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @pandas_udf("int")
+    def list_id(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        scores = ivf_assignment_scores(mat, bc.value)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    listed = embeddings.withColumn("ivf_list", list_id(F.col(vec_col)))
+    qrows = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    probes = {}
+    for qid in query_ids:
+        qscores = ivf_assignment_scores(qrows[qid][None, :], cent)[0]
+        probes[qid] = frozenset(
+            int(c) for c in np.argsort(qscores, kind="stable")[:nprobe]
+        )
+    union_probe = sorted(set().union(*probes.values())) if probes else []
+    pruned = listed.filter(F.col("ivf_list").isin(union_probe))
+    return _heap_topk_many(
+        spark, pruned, list(query_ids), qrows, k, margin, id_col, vec_col,
+        key_col="ivf_list", probes=probes,
     )

@@ -226,16 +226,38 @@ def quantile_bins(
         census_wide.filter(F.col(variable).isNotNull())
         .select("geoid", F.col(variable).alias("value"))
     )
-    ranked, n = global_rank(vals)
-    rank = F.col("__rank")
+    ranked, n, handle = global_rank(vals)
+    if n == 0:
+        handle.unpersist()
+        return vals.select(
+            "geoid", "value", F.lit(None).cast("int").alias("bin")
+        ).limit(0)
     q, m = divmod(n, k)
-    cut = m * (q + 1)  # ntile: first m buckets hold q+1 rows, the rest q
-    bin_col = (
-        F.when(rank <= F.lit(cut), F.ceil(rank / F.lit(q + 1)))
-        .otherwise(F.lit(m) + F.ceil((rank - F.lit(cut)) / F.lit(max(q, 1))))
-        .cast("int")
+    # ntile boundary ranks: end of bucket i (first m buckets hold q+1 rows)
+    ends = [
+        i * (q + 1) if i <= m else m * (q + 1) + (i - m) * q
+        for i in range(1, min(k, max(n, 1)))
+    ]
+    # collect the (value, geoid) tuple AT each boundary rank — ≤ k-1 rows —
+    # then bin = 1 + #boundaries lexicographically below the row. This
+    # reproduces ntile's tie handling exactly (ties ordered by geoid) while
+    # keeping the RETURNED plan a narrow scan: no window, no rank column,
+    # and the range-shuffled cache can be released before returning.
+    brows = (
+        ranked.filter(F.col("__rank").isin([int(e) for e in set(ends)]))
+        .select("__rank", "value", "geoid")
+        .collect()
     )
-    return ranked.select("geoid", "value", bin_col.alias("bin"))
+    handle.unpersist()
+    at = {r["__rank"]: (r["value"], r["geoid"]) for r in brows}
+    bin_col = F.lit(1)
+    for e in ends:
+        bv, bg = at[e]
+        below = (F.col("value") > F.lit(bv)) | (
+            (F.col("value") == F.lit(bv)) & (F.col("geoid") > F.lit(bg))
+        )
+        bin_col = bin_col + below.cast("int")
+    return vals.select("geoid", "value", bin_col.cast("int").alias("bin"))
 
 
 def global_rank(vals: DataFrame):
@@ -243,9 +265,16 @@ def global_rank(vals: DataFrame):
     replacement for an un-partitioned window: range shuffle, per-
     partition ``row_number`` (window partitioned by the range-partition
     id), broadcast prefix offsets. Returns (ranked_df with ``__rank``,
-    n). Driver state is one row per shuffle partition; the range shuffle
-    is materialized once (two consumers must see identical placement).
-    Shared by quantile_bins and operators.classify."""
+    n, persist_handle). Driver state is one row per shuffle partition.
+
+    The persist is load-bearing for correctness, not just speed:
+    ``repartitionByRange`` samples per query compilation, so two separate
+    actions could see different range boundaries — the offset table would
+    then describe the wrong placement. Callers MUST finish every action
+    that reads ``__rank`` and then release the cache via
+    ``persist_handle.unpersist()`` (see quantile_bins / operators.classify
+    for the pattern: collect the few boundary rows, unpersist, and build
+    the returned plan on the raw input instead)."""
     spark = vals.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = vals.repartitionByRange(
@@ -267,4 +296,4 @@ def global_rank(vals: DataFrame):
     ranked = parts.join(F.broadcast(off_df), "__pid").withColumn(
         "__rank", F.row_number().over(w) + F.col("__off")
     )
-    return ranked, n
+    return ranked, n, parts

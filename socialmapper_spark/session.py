@@ -42,15 +42,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # sandbox inputs are small files (sf0.1 pages ≈ 39 MB): at the JVM
-        # default 128 MB — or even 16 MB — the scan stage gets a handful of
-        # splits and the heaviest stage can't use the cores (16 MB → 3
-        # tasks for sf0.1). 1 MB splits give one task per row group
-        # (row_group_size=16384 → 37 splits), restoring full parallelism.
-        # A cluster-scale table has ample row groups; ops would raise this.
+        # library default: 16 MB (sane split sizing for real tables — the
+        # JVM's 128 MB under-splits the mid-size files typical here, while
+        # a tiny default would explode task counts on any non-toy input).
+        # The sandbox bench/test harnesses override to 1 MB via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES because sandbox files are so
+        # small (sf0.1 pages ≈ 39 MB) that 16 MB yields only 3 scan splits
+        # and the heaviest stage can't use the cores.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
         )
         .config("spark.ui.enabled", "false")
     )

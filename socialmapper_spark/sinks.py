@@ -140,11 +140,13 @@ def export_units_iceberg(df: DataFrame, table: str, mode: str = "overwrite") -> 
         if any(
             s in msg
             for s in (
+                # ONLY unambiguous missing-runtime/missing-catalog-config
+                # signals; a TABLE_OR_VIEW_NOT_FOUND on a configured cluster
+                # means the target table is missing and must propagate as-is
                 "Cannot find catalog plugin",
                 "ClassNotFoundException",
                 "NoClassDefFoundError",
                 "CATALOG_NOT_FOUND",
-                "TABLE_OR_VIEW_NOT_FOUND",
                 # unconfigured multi-part catalog falls through to
                 # spark_catalog, which rejects the namespace
                 "REQUIRES_SINGLE_PART_NAMESPACE",

@@ -3,8 +3,11 @@ import pytest
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
     from socialmapper_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1 * 1024 * 1024))
     s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
     yield s
     s.stop()

@@ -150,10 +150,16 @@ def test_window_rollup_stream_equals_batch(spark):
 # --- embedding near-dup ------------------------------------------------------
 
 def test_embedding_near_dup_matches_bruteforce(spark):
+    """Banded multi-table LSH near-dup: engine rows == the numpy twin's
+    rows, and banded recall ≥ the old single-6-bit-table recall on the
+    same corpus (the scale fix must not cost recall)."""
     from socialmapper_spark.operators.similarity import (
+        NEAR_DUP_BAND_BITS,
         NEAR_DUP_BITS,
+        NEAR_DUP_TABLES,
         NEAR_DUP_THRESHOLD,
         _planes,
+        band_keys_py,
         embedding_near_dup_pairs,
         lsh_bucket_py,
     )
@@ -164,28 +170,65 @@ def test_embedding_near_dup_matches_bruteforce(spark):
     }
     rows = emb.orderBy("vec_id").collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
-    planes = _planes(len(next(iter(vecs.values()))), NEAR_DUP_BITS)
-    buckets = {vid: lsh_bucket_py(v, planes) for vid, v in vecs.items()}
-    want = set()
+    dim = len(next(iter(vecs.values())))
+    planes = _planes(dim, NEAR_DUP_TABLES * NEAR_DUP_BAND_BITS)
+    keys = {
+        vid: band_keys_py(v, planes, NEAR_DUP_TABLES, NEAR_DUP_BAND_BITS)
+        for vid, v in vecs.items()
+    }
     ids = sorted(vecs)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return (va @ vb) / (np.sqrt(va @ va) * np.sqrt(vb @ vb))
+
+    want = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            if buckets[a] != buckets[b]:
+            if not any(ka == kb for ka, kb in zip(keys[a], keys[b])):
                 continue
-            va, vb = vecs[a], vecs[b]
-            cos = (va @ vb) / (np.sqrt(va @ va) * np.sqrt(vb @ vb))
-            if round(cos, 6) >= NEAR_DUP_THRESHOLD + 1e-6 or (
-                cos >= NEAR_DUP_THRESHOLD - 1e-6 and (a, b) in got
+            c = cos(a, b)
+            if round(c, 6) >= NEAR_DUP_THRESHOLD + 1e-6 or (
+                c >= NEAR_DUP_THRESHOLD - 1e-6 and (a, b) in got
             ):
                 want.add((a, b))
     # brute force with a tolerance band: every clear pair found, nothing
     # outside the band reported
     assert want <= got
     for a, b in got:
-        va, vb = vecs[a], vecs[b]
-        cos = (va @ vb) / (np.sqrt(va @ va) * np.sqrt(vb @ vb))
-        assert cos >= NEAR_DUP_THRESHOLD - 1e-6
-        assert buckets[a] == buckets[b]
+        assert cos(a, b) >= NEAR_DUP_THRESHOLD - 1e-6
+        assert any(ka == kb for ka, kb in zip(keys[a], keys[b]))
+
+    # recall vs ground truth must not regress vs the old single-table form
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if cos(a, b) >= NEAR_DUP_THRESHOLD + 1e-6
+    }
+    planes1 = _planes(dim, NEAR_DUP_BITS)
+    b1 = {vid: lsh_bucket_py(v, planes1) for vid, v in vecs.items()}
+    single = {(a, b) for (a, b) in truth if b1[a] == b1[b]}
+    if truth:
+        assert len(got & truth) >= len(single)
+
+
+def test_embedding_near_dup_hot_bucket_cap_bounds_pairs(spark):
+    """max_bucket drops degenerate buckets: with a tiny cap the operator
+    must emit no pair from any over-cap bucket (bounded Σ n_b² per
+    table), while default-cap output is a superset."""
+    from socialmapper_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(spark, emb).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(spark, emb, max_bucket=3).collect()
+    }
+    assert capped <= full
 
 
 def test_ivf_ann_recall_vs_exact(spark):

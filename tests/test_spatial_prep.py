@@ -250,7 +250,9 @@ def test_knn_kring_plan_stays_in_plan(spark, geo_small):
 
     pages = spark.read.parquet(f"{geo_small}/pages.parquet")
     pois = spark.read.parquet(f"{geo_small}/pois.parquet").filter(F.col("lat") <= 90)
-    out = knn_join(spark, geoparse_pages(pages), pois, k=1, strategy="kring")
+    # rings pinned: auto-sizing on this sparse fixture would (correctly)
+    # degrade to the broadcast plan — this test asserts the kring plan shape
+    out = knn_join(spark, geoparse_pages(pages), pois, k=1, strategy="kring", rings=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan
     assert "BroadcastHashJoin" in plan
