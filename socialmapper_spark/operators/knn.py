@@ -212,7 +212,10 @@ def knn_join(
         return out.select(*cols)
 
     if strategy == "broadcast":
-        return finish(pts.crossJoin(F.broadcast(poi_xy)))
+        out = finish(pts.crossJoin(F.broadcast(poi_xy)))
+        if poi_sdf.is_cached:  # auto/degraded entry persisted the POI side
+            out.__spark_graft_caches__ = [poi_sdf]
+        return out
 
     if strategy != "kring":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -281,4 +284,9 @@ def knn_join(
         covered = near.drop("__plat").join(proven, id_col, "left_semi")
     missing = pts.join(proven, id_col, "left_anti")
     fallback = finish(missing.crossJoin(F.broadcast(poi_xy)))
-    return covered.unionByName(fallback)
+    out = covered.unionByName(fallback)
+    # the persists above are consumed lazily by this returned plan, so the
+    # operator cannot unpersist them itself; hand the caller the handles
+    # (session.release_caches) for release after its terminal action
+    out.__spark_graft_caches__ = [poi_sdf, pts, near]
+    return out

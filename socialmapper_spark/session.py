@@ -58,3 +58,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_caches(df) -> int:
+    """Release the persist() handles an operator attached to its returned
+    DataFrame (``__spark_graft_caches__``). Operators like the kring kNN
+    keep intermediates persisted because the returned plan consumes them
+    lazily — only the caller knows when the last action has run. Call
+    this after that action in a long-lived session to drop the cached
+    blocks (or use ``spark.catalog.clearCache()`` to drop everything, as
+    bench.py does between timed runs). Returns the number of handles
+    released; safe on frames with no attached caches."""
+    handles = getattr(df, "__spark_graft_caches__", None) or []
+    for h in handles:
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+    return len(handles)

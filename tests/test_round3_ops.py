@@ -240,3 +240,23 @@ def test_knn_kring_degrades_to_broadcast_on_sparse_pois(spark, geo_small):
         r["url"]: (r["poi_id"], round(r["distance_km"], 9)) for r in auto.collect()
     }
     assert got == want and len(got) == 200
+
+
+def test_knn_kring_caches_released_via_helper(spark, geo_small):
+    """kring persists intermediates consumed by the returned plan; the
+    attached handles + session.release_caches drop them after the
+    caller's terminal action (the long-lived-session leak fix)."""
+    from socialmapper_spark.operators.knn import knn_join
+    from socialmapper_spark.pipeline import geoparse_pages
+    from socialmapper_spark.session import release_caches
+
+    pages = spark.read.parquet(f"{geo_small}/pages.parquet")
+    pois = spark.read.parquet(f"{geo_small}/pois.parquet").filter(F.col("lat") <= 90)
+    probes = geoparse_pages(pages).filter(F.col("lat").isNotNull()).limit(100)
+    out = knn_join(spark, probes, pois, k=1, strategy="kring", rings=3)
+    assert out.count() == 100
+    handles = getattr(out, "__spark_graft_caches__", [])
+    assert len(handles) == 3 and all(h.is_cached for h in handles)
+    assert release_caches(out) == 3
+    assert not any(h.is_cached for h in handles)
+    assert release_caches(probes) == 0  # frames without handles are no-ops
