@@ -966,6 +966,28 @@ def q_max_p_bins(spark, sf_dir):
     return max_p_bins(_wide(spark, sf_dir))
 
 
+def _crawl(spark, sf_dir):
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+
+    d = ensure_crawl_fixture(sf_dir)
+    return spark.read.parquet(str(d / "crawl_pages.parquet"))
+
+
+def q_snapshot_dedup(spark, sf_dir):
+    """Latest-crawl-wins dedup over the multi-snapshot crawl table
+    (struct-max groupBy — map-side partial agg, no window sort)."""
+    from socialmapper_spark.operators.web import snapshot_dedup
+
+    return snapshot_dedup(_crawl(spark, sf_dir))
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl rollup (authority extraction + one hash agg)."""
+    from socialmapper_spark.operators.web import host_stats
+
+    return host_stats(_crawl(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate evaluates the
     FIRST 50 entries only, so the newest / this-round-changed operators sit
@@ -1016,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "language_id": q_language_id,
         "cosine_topk_many": q_cosine_topk_many,
+        # round-3 crawl-table operators (new — need their first driver row)
+        "snapshot_dedup": q_snapshot_dedup,
+        "host_stats": q_host_stats,
         # high-value r2-green entries filling out the 50-row gate
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
@@ -1026,10 +1051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
-        "demographic_summary": q_demographic_summary,
-        "quantile_bins": q_quantile_bins,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "demographic_summary": q_demographic_summary,
+        "quantile_bins": q_quantile_bins,
         "census_pivot": q_census_pivot,
         "equal_interval_bins": q_equal_interval_bins,
         "census_cleanse": q_census_cleanse,
@@ -1093,10 +1118,15 @@ _CLEANSE_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     # make sure the sf0.01 fixtures + goldens exist before DuckDB reads them
-    from socialmapper_spark.fixtures import ensure_geo_extras, ensure_text_goldens
+    from socialmapper_spark.fixtures import (
+        ensure_crawl_fixture,
+        ensure_geo_extras,
+        ensure_text_goldens,
+    )
 
     _geo("/root/testdata/sf0.01")
     ensure_geo_extras("/root/testdata/sf0.01")
+    ensure_crawl_fixture("/root/testdata/sf0.01")
     tg = str(ensure_text_goldens("/root/testdata/sf0.01"))
     g = GEO_SF01
     cleansed = f"""
@@ -1305,6 +1335,27 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"""
             select doc_id, fingerprint
             from read_parquet('{tg}/golden_winnow.parquet')
+        """,
+        "snapshot_dedup": f"""
+            select url, epoch_us(warc_ts) as warc_ts_us, lang, text, n_snapshots
+            from (
+              select url, warc_ts, lang, text,
+                     row_number() over (
+                       partition by url
+                       order by warc_ts desc, md5(text) desc) as rn,
+                     count(*) over (partition by url) as n_snapshots
+              from read_parquet('{g}/crawl_pages.parquet'))
+            where rn = 1
+        """,
+        "host_stats": f"""
+            select regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host,
+                   count(*) as n_pages,
+                   count(distinct url) as n_urls,
+                   max(epoch_us(warc_ts)) as latest_ts_us,
+                   round(avg(case when lang = 'en' then 1.0 else 0.0 end), 6)
+                     as en_share
+            from read_parquet('{g}/crawl_pages.parquet')
+            group by 1
         """,
         "lsh_ann": f"""
             select query_id, vec_id, cosine, rank

@@ -981,6 +981,80 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
     return out
 
 
+CRAWL_VERSION = "c1"
+CRAWL_HOSTS = 16
+
+
+def ensure_crawl_fixture(sf_dir: str) -> pathlib.Path:
+    """crawl_pages.parquet — a multi-snapshot web-crawl fixture in the
+    input_hint shape (url, warc_ts, html, text, lang) for the crawl-table
+    operators (operators/web.py: snapshot_dedup, host_stats).
+
+    Unlike pages.parquet (one crawl per url), this models recrawls:
+    n_urls = PAGE_COUNTS[sf]/10 urls across 16 hosts with a quadratic
+    hot-host skew (host0 holds ~25% of urls — the web-domain analog of
+    the urban hot-cell skew), each url crawled 1–4 times (snapshot count
+    is a deterministic function of the url index), snapshot j stamped
+    base_ts + j days with distinct text per snapshot. Every 17th url
+    carries an explicit port and query string so host extraction is
+    exercised against non-trivial authorities. Rows are shuffled so the
+    file is NOT pre-grouped by url (the dedup must actually shuffle).
+    Pure function of the scale name (seed 43), cached behind a marker.
+    """
+    out = geo_dir_for(sf_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    marker = out / f".crawl_{CRAWL_VERSION}"
+    if marker.exists():
+        return out
+
+    n_urls = max(PAGE_COUNTS[sf_name_from_dir(sf_dir)] // 10, 200)
+    rng = np.random.default_rng(43)
+    host_idx = np.minimum(
+        (rng.uniform(0, 1, n_urls) ** 2 * CRAWL_HOSTS).astype(np.int64),
+        CRAWL_HOSTS - 1,
+    )
+    # 1..4 snapshots, deterministic in the url index (Knuth multiplicative)
+    n_snap = (1 + (np.arange(n_urls, dtype=np.uint64) * np.uint64(2654435761)) % 4).astype(
+        np.int64
+    )
+    lang_u = np.array(["en", "es", "fr"], dtype=object)[
+        np.searchsorted([0.7, 0.9], rng.uniform(0, 1, n_urls))
+    ]
+
+    def url_for(i: int, h: int) -> str:
+        if i % 17 == 0:
+            return f"https://host{h}.example.org:8443/item/{i}?ref=crawl"
+        return f"https://host{h}.example.org/item/{i}"
+
+    urls_u = np.array(
+        [url_for(i, int(h)) for i, h in enumerate(host_idx)], dtype=object
+    )
+    rep = np.repeat(np.arange(n_urls), n_snap)
+    snap = np.concatenate([np.arange(k) for k in n_snap])
+    ts_us = EPOCH_US + rep * 1_000_000 + snap * 86_400_000_000
+    texts = [
+        f"crawl snapshot {int(s)} of item {int(i)} on host{int(host_idx[i])} "
+        + (_EN_FILLER if lang_u[i] == "en" else _ES_FILLER)
+        for i, s in zip(rep, snap)
+    ]
+    perm = rng.permutation(len(rep))
+    tbl = pa.table(
+        {
+            "url": pa.array(urls_u[rep][perm], pa.string()),
+            "warc_ts": pa.array(ts_us[perm], pa.timestamp("us", tz="UTC")),
+            "html": pa.array(
+                [b"<html><body>" + texts[j].encode() + b"</body></html>" for j in perm],
+                pa.binary(),
+            ),
+            "text": pa.array([texts[j] for j in perm], pa.string()),
+            "lang": pa.array(lang_u[rep][perm], pa.string()),
+        }
+    )
+    pq.write_table(tbl, out / "crawl_pages.parquet", row_group_size=16384)
+    marker.touch()
+    return out
+
+
 if __name__ == "__main__":
     import sys
 

@@ -1,0 +1,104 @@
+"""Crawl-table operators (operators/web.py): snapshot dedup + host stats
+over the multi-snapshot crawl fixture."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _crawl(spark):
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+
+    d = ensure_crawl_fixture(SF_SMALL)
+    return spark.read.parquet(str(d / "crawl_pages.parquet"))
+
+
+def test_crawl_fixture_shape_and_determinism(spark):
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+
+    df = _crawl(spark)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    n1 = df.count()
+    ensure_crawl_fixture(SF_SMALL)  # second call: cached, same content
+    assert _crawl(spark).count() == n1
+    # multi-snapshot: strictly more rows than urls
+    n_urls = df.select("url").distinct().count()
+    assert n1 > n_urls
+    # port/query urls present (host-extraction edge cases)
+    assert df.filter(F.col("url").contains(":8443")).count() > 0
+
+
+def test_snapshot_dedup_latest_wins(spark):
+    from socialmapper_spark.operators.web import snapshot_dedup
+
+    pages = _crawl(spark)
+    out = snapshot_dedup(pages).cache()
+    n_urls = pages.select("url").distinct().count()
+    assert out.count() == n_urls
+    # n_snapshots partitions the input exactly
+    total = out.agg(F.sum("n_snapshots")).first()[0]
+    assert total == pages.count()
+    # kept row is the max warc_ts per url (checked against an independent agg)
+    expect = (
+        pages.groupBy("url")
+        .agg(F.max(F.unix_micros("warc_ts")).alias("mx"))
+        .collect()
+    )
+    got = {r["url"]: r["warc_ts_us"] for r in out.collect()}
+    assert all(got[r["url"]] == r["mx"] for r in expect)
+    out.unpersist()
+
+
+def test_snapshot_dedup_plan_partial_agg_no_window(spark):
+    """The scale contract: struct-max groupBy (map-side partial agg),
+    not a row_number window — no Sort/Window node, one exchange, pure
+    Catalyst (no Python on executors)."""
+    from socialmapper_spark.operators.web import snapshot_dedup
+
+    plan = (
+        snapshot_dedup(_crawl(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_host_stats_partitions_and_strips_authority(spark):
+    from socialmapper_spark.operators.web import host_stats
+
+    pages = _crawl(spark)
+    out = host_stats(pages).cache()
+    rows = out.collect()
+    # hosts are bare authorities: no scheme, port, userinfo, or path chars
+    assert all(
+        not any(c in r["host"] for c in ":/@?#") and r["host"].startswith("host")
+        for r in rows
+    )
+    assert sum(r["n_pages"] for r in rows) == pages.count()
+    assert sum(r["n_urls"] for r in rows) == pages.select("url").distinct().count()
+    assert all(0.0 <= r["en_share"] <= 1.0 for r in rows)
+    # quadratic host skew: host0 dominates
+    by_host = {r["host"]: r["n_pages"] for r in rows}
+    assert by_host["host0.example.org"] == max(by_host.values())
+    out.unpersist()
+
+
+def test_host_stats_port_and_bare_urls_share_host(spark):
+    """host3.example.org:8443/...?ref=... and host3.example.org/... fold
+    into the same host key."""
+    from socialmapper_spark.operators.web import host_stats
+
+    pages = _crawl(spark)
+    hosts = {r["host"] for r in host_stats(pages).collect()}
+    ported = {
+        r["url"]
+        for r in pages.filter(F.col("url").contains(":8443")).limit(5).collect()
+    }
+    for u in ported:
+        bare = u.split("://")[1].split(":")[0]
+        assert bare in hosts
