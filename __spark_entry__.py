@@ -988,6 +988,34 @@ def q_host_stats(spark, sf_dir):
     return host_stats(_crawl(spark, sf_dir))
 
 
+def q_host_daily(spark, sf_dir):
+    """Per-(day, host) crawl volume (batch plan)."""
+    from socialmapper_spark.operators.web import host_daily
+
+    return host_daily(_crawl(spark, sf_dir))
+
+
+def q_host_daily_stream(spark, sf_dir):
+    """Structured Streaming twin of host_daily (watermark + tumbling
+    window, availableNow drain) — identical rows to the batch plan."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import host_daily_stream
+
+    return host_daily_stream(spark, str(ensure_crawl_fixture(sf_dir)))
+
+
+def q_snapshot_dedup_stream(spark, sf_dir):
+    """Streaming first-seen-wins url admission gate
+    (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
+    'first' is micro-batch-order-dependent; the row COUNT (one per url)
+    and schema are the stable contract (driver rows-only check), the
+    set-level invariants are pinned by pytest."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import snapshot_dedup_stream
+
+    return snapshot_dedup_stream(spark, str(ensure_crawl_fixture(sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate evaluates the
     FIRST 50 entries only, so the newest / this-round-changed operators sit
@@ -1041,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 crawl-table operators (new — need their first driver row)
         "snapshot_dedup": q_snapshot_dedup,
         "host_stats": q_host_stats,
+        "host_daily": q_host_daily,
+        "host_daily_stream": q_host_daily_stream,
         # high-value r2-green entries filling out the 50-row gate
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
@@ -1049,10 +1079,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
-        "event_sessions": q_event_sessions,
-        "event_sessions_stream": q_event_sessions_stream,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "event_sessions": q_event_sessions,
+        "event_sessions_stream": q_event_sessions_stream,
+        "snapshot_dedup_stream": q_snapshot_dedup_stream,
         "demographic_summary": q_demographic_summary,
         "quantile_bins": q_quantile_bins,
         "census_pivot": q_census_pivot,
@@ -1357,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{g}/crawl_pages.parquet')
             group by 1
         """,
+        "host_daily": _HOST_DAILY_SQL.format(g=g),
+        "host_daily_stream": _HOST_DAILY_SQL.format(g=g),
         "lsh_ann": f"""
             select query_id, vec_id, cosine, rank
             from read_parquet('{tg}/golden_lsh_ann.parquet')
@@ -1764,6 +1797,16 @@ _EVENT_SESSIONS_SQL = """
                    cast(sum(cast(value as decimal(20,6))) as double) as total_value
             from g group by user_id, session_seq
         """
+
+_HOST_DAILY_SQL = """
+    select strftime(date_trunc('day', warc_ts), '%Y-%m-%d') as day,
+           regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host,
+           count(*) as n_pages,
+           cast(sum(case when lang = 'en' then 1 else 0 end) as bigint) as n_en
+    from read_parquet('{g}/crawl_pages.parquet')
+    group by 1, 2
+"""
+
 
 _EVENT_WINDOWS_SQL = """
     select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,

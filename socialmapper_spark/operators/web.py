@@ -19,7 +19,9 @@ Catalyst (no Python on executors).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # URI authority minus userinfo and port: the char class excludes the
@@ -77,3 +79,112 @@ def host_stats(pages: DataFrame) -> DataFrame:
         F.max(F.unix_micros(F.col("warc_ts"))).alias("latest_ts_us"),
         F.round(F.avg((F.col("lang") == "en").cast("double")), 6).alias("en_share"),
     )
+
+
+def host_daily(pages: DataFrame) -> DataFrame:
+    """Per-(day, host) crawl volume: page rows and English-page count.
+
+    Day boundaries are epoch-aligned (`date_trunc`), emitted as strings
+    (events.py convention) so the streaming twin's tumbling window and
+    the DuckDB oracle bucket identically. All aggregates are sums —
+    partial-aggregable batch-side, exact under streaming complete-mode
+    snapshots.
+    """
+    return pages.groupBy(
+        F.date_format(F.date_trunc("day", F.col("warc_ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        page_host(F.col("url")).alias("host"),
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+    )
+
+
+def host_daily_stream(
+    spark: SparkSession, crawl_dir: str, file_glob: str = "crawl_pages.parquet"
+) -> DataFrame:
+    """Structured Streaming twin of :func:`host_daily` — the continuous
+    ingest form (new WARC drops append to the crawl table; per-host daily
+    volume updates incrementally).
+
+    1-day watermark + tumbling 1-day window, availableNow drain into a
+    memory sink, complete output mode (finite test input must yield every
+    window; production runs append mode with the same watermark into a
+    parquet/Iceberg sink). Must equal the batch plan row-for-row.
+    """
+    schema = spark.read.option("pathGlobFilter", file_glob).parquet(crawl_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_glob)
+        .parquet(crawl_dir)
+    )
+    agg = (
+        stream.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", "1 day")
+        .groupBy(
+            F.window("warc_ts", "1 day").alias("win"),
+            page_host(F.col("url")).alias("host"),
+        )
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        )
+    )
+    sink = f"host_daily_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "host",
+        "n_pages",
+        "n_en",
+    )
+
+
+def snapshot_dedup_stream(
+    spark: SparkSession,
+    crawl_dir: str,
+    file_glob: str = "crawl_pages.parquet",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming ingestion-gate dedup: FIRST-seen-wins per url within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — per-url state
+    is evicted once event time passes the horizon, so state stays bounded
+    on an unbounded crawl stream).
+
+    Complementary semantics to the batch :func:`snapshot_dedup`
+    (latest-wins backfill): an admission gate emits a url the first time
+    it is seen and suppresses recrawls inside the horizon. Which physical
+    row is "first" depends on micro-batch arrival order, so the pinned
+    contract is set-level: one row per url, and every emitted row exists
+    in the input (no oracle twin — documented nondeterminism).
+    """
+    schema = spark.read.option("pathGlobFilter", file_glob).parquet(crawl_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_glob)
+        .parquet(crawl_dir)
+    )
+    gated = (
+        stream.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+        .select("url", F.unix_micros(F.col("warc_ts")).alias("warc_ts_us"), "lang")
+    )
+    sink = f"snapshot_gate_{uuid.uuid4().hex[:12]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

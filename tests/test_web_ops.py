@@ -88,6 +88,38 @@ def test_host_stats_partitions_and_strips_authority(spark):
     out.unpersist()
 
 
+def test_host_daily_stream_equals_batch(spark):
+    """Streaming (watermark + tumbling day window) must reproduce the
+    batch host_daily rows exactly."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import host_daily, host_daily_stream
+
+    d = str(ensure_crawl_fixture(SF_SMALL))
+    batch = {tuple(r) for r in host_daily(_crawl(spark)).collect()}
+    stream = {tuple(r) for r in host_daily_stream(spark, d).collect()}
+    assert stream == batch and len(batch) > 0
+
+
+def test_snapshot_dedup_stream_one_row_per_url(spark):
+    """First-seen admission gate: exactly one emitted row per url, and
+    every emitted (url, warc_ts_us) pair exists in the input."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import snapshot_dedup_stream
+
+    d = str(ensure_crawl_fixture(SF_SMALL))
+    pages = _crawl(spark)
+    out = snapshot_dedup_stream(spark, d).collect()
+    urls = [r["url"] for r in out]
+    assert len(urls) == len(set(urls)) == pages.select("url").distinct().count()
+    in_pairs = {
+        (r["url"], r["us"])
+        for r in pages.select(
+            "url", F.unix_micros("warc_ts").alias("us")
+        ).collect()
+    }
+    assert all((r["url"], r["warc_ts_us"]) in in_pairs for r in out)
+
+
 def test_host_stats_port_and_bare_urls_share_host(spark):
     """host3.example.org:8443/...?ref=... and host3.example.org/... fold
     into the same host key."""
