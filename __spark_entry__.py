@@ -1004,6 +1004,14 @@ def q_host_daily_stream(spark, sf_dir):
     return host_daily_stream(spark, str(ensure_crawl_fixture(sf_dir)))
 
 
+def q_html_extract(spark, sf_dir):
+    """html binary → text extraction with the byte-identical per-url
+    invariant surfaced as a checked column (input-hint contract)."""
+    from socialmapper_spark.operators.web import extract_text
+
+    return extract_text(_crawl(spark, sf_dir))
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1071,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "host_daily": q_host_daily,
         "host_daily_stream": q_host_daily_stream,
+        "html_extract": q_html_extract,
         # high-value r2-green entries filling out the 50-row gate
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
@@ -1078,9 +1087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow,
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
-        "event_windows_stream": q_event_windows_stream,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
         "snapshot_dedup_stream": q_snapshot_dedup_stream,
@@ -1390,6 +1399,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_daily": _HOST_DAILY_SQL.format(g=g),
         "host_daily_stream": _HOST_DAILY_SQL.format(g=g),
+        "html_extract": f"""
+            select url,
+                   regexp_replace(decode(html), '<[^>]+>', '', 'g') as extracted,
+                   regexp_replace(decode(html), '<[^>]+>', '', 'g') = text
+                     as matches_text
+            from read_parquet('{g}/crawl_pages.parquet')
+        """,
         "lsh_ann": f"""
             select query_id, vec_id, cosine, rank
             from read_parquet('{tg}/golden_lsh_ann.parquet')

@@ -81,6 +81,27 @@ def host_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html (binary) → extracted text, with the per-row invariant the
+    engine contract demands: extraction must be byte-identical to the
+    table's `text` column per url.
+
+    Pure Catalyst: UTF-8 decode + tag-strip regexp — no Python on
+    executors, whole-stage-codegen friendly, trivially scan-parallel. A
+    production extractor would add entity decoding and boilerplate
+    removal behind the same column contract; `matches_text` makes the
+    invariant itself a queryable (and oracle-checked) column.
+    """
+    extracted = F.regexp_replace(
+        F.decode(F.col("html"), "UTF-8"), "<[^>]+>", ""
+    )
+    return pages.select(
+        "url",
+        extracted.alias("extracted"),
+        (extracted == F.col("text")).alias("matches_text"),
+    )
+
+
 def host_daily(pages: DataFrame) -> DataFrame:
     """Per-(day, host) crawl volume: page rows and English-page count.
 

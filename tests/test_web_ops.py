@@ -120,6 +120,17 @@ def test_snapshot_dedup_stream_one_row_per_url(spark):
     assert all((r["url"], r["warc_ts_us"]) in in_pairs for r in out)
 
 
+def test_extract_text_byte_identical_invariant(spark):
+    """The input-hint contract: tag-stripped html equals the text column
+    byte-for-byte on every row."""
+    from socialmapper_spark.operators.web import extract_text
+
+    out = extract_text(_crawl(spark))
+    assert out.filter(~F.col("matches_text")).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_host_stats_port_and_bare_urls_share_host(spark):
     """host3.example.org:8443/...?ref=... and host3.example.org/... fold
     into the same host key."""
