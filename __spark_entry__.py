@@ -647,6 +647,14 @@ def q_simhash(spark, sf_dir):
     return simhash_docs(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming ≤ 3 via pigeonhole-exact 4×16-bit
+    banding (lossless prune — oracle is the brute-force all-pairs SQL)."""
+    from socialmapper_spark.operators.dedup import near_dup_pairs_simhash
+
+    return near_dup_pairs_simhash(_read(spark, sf_dir, "documents"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-10 for 5 query vectors (Catalyst fold)."""
     from socialmapper_spark.fixtures import COSINE_K, COSINE_QUERY_IDS
@@ -1084,11 +1092,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow,
         "exact_dedup": q_exact_dedup,
-        "event_windows": q_event_windows,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
@@ -1360,6 +1369,14 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_verified": f"""
             select doc_a, doc_b, jaccard
             from read_parquet('{tg}/golden_jaccard.parquet')
+        """,
+        "simhash_pairs": f"""
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) as integer) as hamming
+            from read_parquet('{tg}/golden_simhash.parquet') a
+            join read_parquet('{tg}/golden_simhash.parquet') b
+              on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "simhash": f"""
             select doc_id, simhash from read_parquet('{tg}/golden_simhash.parquet')

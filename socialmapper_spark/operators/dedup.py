@@ -441,3 +441,96 @@ def simhash_udf():
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     return docs.select(id_col, simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — Hamming-ball banding over the 64-bit signature
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4 disjoint 16-bit slices of the 64-bit signature
+SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1  # pigeonhole-exact for this banding
+
+
+def simhash_bands(sims: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash, band_idx, band_key) — the 64-bit simhash cut into
+    SIMHASH_BANDS disjoint 16-bit slices. Pure Catalyst bit math
+    (arithmetic shift + mask — sign-extension bits vanish under the
+    0xFFFF mask, so the slices are the unsigned bit-slices on both Spark
+    and DuckDB)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright(F.col("simhash"), 16 * j)
+                .bitwiseAND(F.lit(65535))
+                .alias("band_key"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    return sims.select(id_col, "simhash", F.explode(bands).alias("b")).select(
+        id_col,
+        "simhash",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+
+
+def near_dup_pairs_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming) with simhash Hamming
+    distance ≤ ``hamming_max`` — the signature-level twin of
+    :func:`near_dup_pairs_minhash` (content-defined dedup family: exact
+    md5, MinHash/Jaccard, SimHash/Hamming, embedding-cosine).
+
+    Exactness: with SIMHASH_BANDS disjoint slices, any pair within
+    Hamming ``hamming_max ≤ SIMHASH_BANDS − 1`` must agree on ≥1 whole
+    slice (pigeonhole), so the band self-join generates ALL qualifying
+    pairs — the banding is a lossless prune, not an approximation
+    (pairs reachable only through buckets larger than ``max_bucket``
+    excepted, the same hot-boilerplate guard as the MinHash path).
+
+    Scale shape: one Arrow-batched UDF pass computes signatures
+    (md5-per-unique-word batch kernel); everything after is Catalyst —
+    the only shuffle moves (id, simhash, band_key) ≈ 24-byte rows keyed
+    on band_key; the Hamming verify is bit_count(xor) inside the
+    exploded bucket, never a second pass over the corpus.
+    """
+    if hamming_max > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"hamming_max={hamming_max} breaks the pigeonhole exactness "
+            f"bound for {SIMHASH_BANDS} bands (max {SIMHASH_BANDS - 1})"
+        )
+    sims = simhash_docs(docs.select(id_col, text_col), id_col, text_col)
+    bands = simhash_bands(sims, id_col)
+    sized = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    )
+    a = sized.select(F.explode("members").alias("a"), "members")
+    pairs = (
+        a.select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.explode("members").alias("b"),
+        )
+        .filter(F.col("doc_a") < F.col(f"b.{id_col}"))
+        .select(
+            "doc_a",
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )
+    # a pair may share several bands — hamming is pair-deterministic, so
+    # distinct over the full row is the dedup
+    return pairs.distinct()

@@ -52,6 +52,33 @@ def test_simhash_similarity_structure(spark, docs):
     assert simhash64_py(None) == 0
 
 
+def test_simhash_pairs_exact_vs_bruteforce(spark, docs):
+    """4×16-bit banding at Hamming ≤ 3 is pigeonhole-exact: output must
+    equal the brute-force all-pairs filter over the same signatures."""
+    from socialmapper_spark.operators.dedup import near_dup_pairs_simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    ids = sorted(sh)
+    expect = {
+        (a, b, bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    out = near_dup_pairs_simhash(docs)
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in out.collect()}
+    assert got == expect
+    assert (0, 3, 0) in got  # exact dup at distance 0
+    # only ONE Python node (the signature UDF) in the whole plan; after an
+    # action AQE's toString prints Final AND Initial sections — count only
+    # the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in final
+    with pytest.raises(ValueError):
+        near_dup_pairs_simhash(docs, hamming_max=4)
+
+
 def test_cosine_topk_orders_by_similarity(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
