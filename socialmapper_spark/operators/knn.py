@@ -173,9 +173,12 @@ def knn_join(
     pts = pts.withColumn("__xy", _albers_udf()(F.col(lat), F.col(lon)))
     pts = pts.withColumn("__x", F.col("__xy.x")).withColumn("__y", F.col("__xy.y"))
 
-    def finish(cand: DataFrame) -> DataFrame:
+    def finish(cand: DataFrame, keep_xy: bool = False) -> DataFrame:
         # if the caller threaded a "__plat" passthrough column (kring guard),
-        # carry it through the aggregation so no join back to pts is needed
+        # carry it through the aggregation so no join back to pts is needed;
+        # keep_xy additionally threads the probe's own projected coordinates
+        # through, so the guard-failed rows can feed the brute-force fallback
+        # directly — no join back to the probe side at all
         passthrough = "__plat" in cand.columns
         dx = cand["__x"] - cand["poi_x"]
         dy = cand["__y"] - cand["poi_y"]
@@ -186,9 +189,16 @@ def knn_join(
             # candidate — the difference between O(candidates) and
             # O(points) shuffle bytes at corpus scale. Struct comparison is
             # field-order lexicographic = (distance, poi_id) tie-break.
+            # With a LEFT candidate join a group holds either only real
+            # candidates or exactly ONE all-null row (left join emits the
+            # null row only on zero matches), so min(struct) never mixes
+            # null and real distances — a null distance_km in the output
+            # means "no candidate in the rings", the fallback marker.
             aggs = [F.min(F.struct("distance_km", "poi_id")).alias("__best")]
             if passthrough:
                 aggs.append(F.min("__plat").alias("__plat"))
+            if keep_xy:
+                aggs.extend([F.min("__x").alias("__x"), F.min("__y").alias("__y")])
             best = cand.groupBy(id_col).agg(*aggs)
             cols = [
                 F.col(id_col),
@@ -199,6 +209,8 @@ def knn_join(
             ]
             if passthrough:
                 cols.append(F.col("__plat"))
+            if keep_xy:
+                cols.extend([F.col("__x"), F.col("__y")])
             return best.select(*cols)
         w = Window.partitionBy(id_col).orderBy(F.col("distance_km").asc(), F.col("poi_id").asc())
         out = (
@@ -209,6 +221,8 @@ def knn_join(
         cols = [id_col, "poi_id", "distance_km", "distance_miles", "knn_rank"]
         if passthrough:
             cols.append("__plat")
+        if keep_xy:
+            cols.extend(["__x", "__y"])
         return out.select(*cols)
 
     if strategy == "broadcast":
@@ -235,23 +249,24 @@ def knn_join(
         F.explode(grid_disk_col(F.col("__pcell"), KNN_RES, rings)).alias("cell"),
     )
 
-    # pts feeds two consumers (candidate join + the fallback anti-join);
-    # persist so the upstream plan (incl. the Arrow projection UDF) runs
-    # once. At cluster scale this is the stage-boundary materialization of
-    # the projected probe side.
-    pts = pts.persist()
+    # LEFT candidate join: points with no POI in their ring disk survive
+    # with an all-null candidate row instead of disappearing. That single
+    # change removes the two heaviest pieces of the old fallback plumbing —
+    # the probe side is consumed exactly ONCE (no pts.persist needed: the
+    # Arrow projection runs a single time inside this join's stage) and the
+    # fallback set falls out of `near` itself (no left-anti shuffle back
+    # against the full probe table). The probe's own projected (__x, __y)
+    # are threaded through the aggregation (keep_xy) so fallback rows carry
+    # their coordinates with them.
     pts_c = pts.withColumn("__cell", cell_col(F.col(lat), F.col(lon), KNN_RES)).withColumn(
         "__plat", F.col(lat)
     )
-    cand = pts_c.join(F.broadcast(cells_df), pts_c["__cell"] == cells_df["cell"], "inner")
-    # `near` feeds three consumers (stats, covered, the anti-join) — persist
-    # so the candidate join + window execute once. At cluster scale this is
-    # a spill-safe MEMORY_AND_DISK of the already-pruned candidate top-k,
-    # which is ~|points|·k rows, far smaller than the raw candidate set.
-    # The point latitude is threaded through the aggregation ("__plat"
-    # passthrough in finish), so the exactness guard below is a per-row
-    # filter on `near` itself — no join back to pts.
-    near = finish(cand).persist()
+    cand = pts_c.join(F.broadcast(cells_df), pts_c["__cell"] == cells_df["cell"], "left")
+    # `near` feeds two consumers (covered + fallback split) — persist so the
+    # candidate join + top-k execute once. At cluster scale this is a
+    # spill-safe MEMORY_AND_DISK of the already-pruned candidate top-k,
+    # ~|points|·k rows, far smaller than the raw candidate set.
+    near = finish(cand, keep_xy=True).persist()
 
     # exactness guard: the ring prune is only provably exact when the k-th
     # candidate distance is smaller than the minimum possible distance to
@@ -264,29 +279,40 @@ def knn_join(
         F.lit(rings * edge * 110000.0 * 0.9)
         * F.cos(F.radians(F.least(F.abs(F.col("__plat")) + F.lit(1.0), F.lit(89.0))))
     )
+    out_cols = [id_col, "poi_id", "distance_km", "distance_miles", "knn_rank"]
     if k == 1:
-        # top-1 fast path: `near` holds exactly one row per point with its
-        # best distance, so the guard (≥k candidates AND kth distance
-        # inside the provable bound) is a NARROW per-row filter on `near`
-        # itself — no stats aggregate, no semi-join shuffle
-        ok = F.col("distance_km") * 1000.0 <= bound_m
-        covered = near.filter(ok).drop("__plat")
-        proven = near.filter(ok).select(id_col)
+        # top-1 fast path: `near` holds exactly one row per point, so the
+        # guard is a NARROW per-row filter — null distance (no candidate)
+        # makes `ok` false, not null, because isNotNull anchors the AND
+        ok = F.col("distance_km").isNotNull() & (
+            F.col("distance_km") * 1000.0 <= bound_m
+        )
+        covered = near.filter(ok).select(*out_cols)
+        fb_pts = near.filter(~ok).select(id_col, "__x", "__y")
     else:
         stats = near.groupBy(id_col).agg(
-            F.count("*").alias("__n"),
+            F.count("poi_id").alias("__n"),  # count(col) skips the null row
             F.max("distance_km").alias("__dk"),
             F.min("__plat").alias("__plat"),
+            F.min("__x").alias("__x"),
+            F.min("__y").alias("__y"),
         )
-        proven = stats.filter(
-            (F.col("__n") >= k) & (F.col("__dk") * 1000.0 <= bound_m)
-        ).select(id_col)
-        covered = near.drop("__plat").join(proven, id_col, "left_semi")
-    missing = pts.join(proven, id_col, "left_anti")
-    fallback = finish(missing.crossJoin(F.broadcast(poi_xy)))
+        # fallback condition spelled null-safe: a candidate-less point has
+        # __n = 0 (count of nulls) and null __dk
+        fb = (F.col("__n") < k) | F.col("__dk").isNull() | (
+            F.col("__dk") * 1000.0 > bound_m
+        )
+        missing = stats.filter(fb).select(id_col, "__x", "__y")
+        covered = (
+            near.filter(F.col("poi_id").isNotNull())
+            .join(missing.select(id_col), id_col, "left_anti")
+            .select(*out_cols)
+        )
+        fb_pts = missing
+    fallback = finish(fb_pts.crossJoin(F.broadcast(poi_xy)))
     out = covered.unionByName(fallback)
     # the persists above are consumed lazily by this returned plan, so the
     # operator cannot unpersist them itself; hand the caller the handles
     # (session.release_caches) for release after its terminal action
-    out.__spark_graft_caches__ = [poi_sdf, pts, near]
+    out.__spark_graft_caches__ = [poi_sdf, near]
     return out
