@@ -1020,6 +1020,35 @@ def q_html_extract(spark, sf_dir):
     return extract_text(_crawl(spark, sf_dir))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization gate: deterministically mess up the fixture
+    urls (case / default port / tracking params+fragment / trailing
+    slash, branch keyed on md5(url)) then canonicalize — every rule gets
+    a covered branch, both engines build the same messy input."""
+    from socialmapper_spark.operators.web import canonical_url
+
+    pages = _crawl(spark, sf_dir)
+    h = F.substring(F.md5(F.col("url")), 1, 1)
+    messy = (
+        F.when(
+            h.isin("0", "1", "2", "3"),
+            F.concat(F.upper(F.substring(F.col("url"), 1, 12)), F.expr("substring(url, 13)")),
+        )
+        .when(
+            h.isin("4", "5", "6", "7"),
+            F.regexp_replace(F.col("url"), "://([^/]+)", "://$1:443"),
+        )
+        .when(
+            h.isin("8", "9", "a", "b"),
+            F.concat(F.col("url"), F.lit("?utm_source=feed&b=2&a=1#frag")),
+        )
+        .otherwise(F.concat(F.col("url"), F.lit("/")))
+    )
+    return pages.select(
+        "url", messy.alias("messy"), canonical_url(messy).alias("canonical")
+    )
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1088,15 +1117,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_daily": q_host_daily,
         "host_daily_stream": q_host_daily_stream,
         "html_extract": q_html_extract,
+        "url_canonical": q_url_canonical,
         # high-value r2-green entries filling out the 50-row gate
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprints": q_winnow,
-        "exact_dedup": q_exact_dedup,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
         "event_sessions": q_event_sessions,
@@ -1423,6 +1453,20 @@ def oracle_sql() -> dict[str, str]:
                      as matches_text
             from read_parquet('{g}/crawl_pages.parquet')
         """,
+        "url_canonical": f"""
+            with m as (
+                select url,
+                       case when substr(md5(url), 1, 1) in ('0','1','2','3')
+                              then upper(substr(url, 1, 12)) || substr(url, 13)
+                            when substr(md5(url), 1, 1) in ('4','5','6','7')
+                              then regexp_replace(url, '://([^/]+)', '://\\1:443')
+                            when substr(md5(url), 1, 1) in ('8','9','a','b')
+                              then url || '?utm_source=feed&b=2&a=1#frag'
+                            else url || '/' end as messy
+                from read_parquet('{g}/crawl_pages.parquet')
+            )
+            select url, messy, {{canon}} as canonical from m
+        """.format(canon=_canonical_url_sql("messy")),
         "lsh_ann": f"""
             select query_id, vec_id, cosine, rank
             from read_parquet('{tg}/golden_lsh_ann.parquet')
@@ -1852,6 +1896,14 @@ _EVENT_WINDOWS_SQL = """
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of operators.web.canonical_url (generated beside the
+    Spark expression — single source of truth for the rules)."""
+    from socialmapper_spark.operators.web import canonical_url_sql
+
+    return canonical_url_sql(expr)
 
 
 def _language_id_sql_twin() -> str:

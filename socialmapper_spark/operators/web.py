@@ -102,6 +102,97 @@ def extract_text(pages: DataFrame) -> DataFrame:
     )
 
 
+# query params a crawl pipeline strips before dedup/admission: tracking
+# decorations that fragment url identity without changing content
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key a crawl-table
+    dedup/admission gate actually joins on (raw urls fragment identity:
+    case, default ports, tracking params, fragments, trailing slashes).
+
+    Rules: lowercase scheme+host, strip userinfo handling from the host
+    capture, drop default ports (http:80 / https:443), drop the
+    fragment, drop tracking params (TRACKING_PARAM_RE), sort surviving
+    query params bytewise, collapse trailing path slashes ('' → '/').
+    Non-absolute inputs (no '://') pass through unchanged.
+
+    Pure Catalyst (regexp + array ops inside whole-stage codegen) — at
+    corpus scale this runs inside the scan projection, no shuffle, no
+    Python. DuckDB twin: the oracle SQL in __spark_entry__ implements
+    the same rules with the same regexes (both engines are RE2-family;
+    no-match regexp_extract yields '' in both).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.regexp_extract(url, "://([^/?#]*)", 1)
+    hostport = F.regexp_replace(auth, "^[^/@]*@", "")
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]*$", ""))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    default_port = ((scheme == F.lit("http")) & (port == F.lit("80"))) | (
+        (scheme == F.lit("https")) & (port == F.lit("443"))
+    )
+    port_part = F.when((port == F.lit("")) | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.regexp_extract(url, "://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qsorted = F.array_join(F.sort_array(params), "&")
+    qpart = F.when(qsorted == F.lit(""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), qsorted)
+    )
+    return F.when(scheme == F.lit(""), url).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
+    )
+
+
+def canonical_url_sql(expr: str = "url") -> str:
+    """DuckDB twin of :func:`canonical_url`, generated here so the two
+    implementations stay in one file (the language_id_sql pattern)."""
+    scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    auth = f"regexp_extract({expr}, '://([^/?#]*)', 1)"
+    hostport = f"regexp_replace({auth}, '^[^/@]*@', '')"
+    host = f"lower(regexp_replace({hostport}, ':[0-9]*$', ''))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    default_port = (
+        f"(({scheme} = 'http' and {port} = '80') or"
+        f" ({scheme} = 'https' and {port} = '443'))"
+    )
+    port_part = (
+        f"case when {port} = '' or {default_port} then '' else ':' || {port} end"
+    )
+    path = f"regexp_extract({expr}, '://[^/?#]*([^?#]*)', 1)"
+    path = f"regexp_replace({path}, '/+$', '')"
+    path = f"case when {path} = '' then '/' else {path} end"
+    query = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_filter(string_split({query}, '&'), x -> x <> '' "
+        f"and not regexp_matches(x, '{TRACKING_PARAM_RE}'))"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — pin the Spark semantics
+    qsorted = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    qpart = f"case when {qsorted} = '' then '' else '?' || {qsorted} end"
+    return (
+        f"case when {scheme} = '' then {expr} "
+        f"else {scheme} || '://' || {host} || {port_part} || {path} || {qpart} end"
+    )
+
+
+def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, canonical) — the admission-gate key per page row."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        canonical_url(F.col(url_col)).alias("canonical"),
+    )
+
+
 def host_daily(pages: DataFrame) -> DataFrame:
     """Per-(day, host) crawl volume: page rows and English-page count.
 

@@ -131,6 +131,29 @@ def test_extract_text_byte_identical_invariant(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on a hand-built edge-case table."""
+    from socialmapper_spark.operators.web import canonical_url
+
+    cases = [
+        ("HTTPS://Example.ORG/A/b/", "https://example.org/A/b"),  # case+slash
+        ("http://h.org:80/x", "http://h.org/x"),          # default http port
+        ("https://h.org:443/x", "https://h.org/x"),       # default https port
+        ("https://h.org:8443/x", "https://h.org:8443/x"), # non-default kept
+        ("https://u:p@h.org/x", "https://h.org/x"),       # userinfo stripped
+        ("https://h.org", "https://h.org/"),              # empty path → /
+        ("https://h.org/x?b=2&a=1#frag", "https://h.org/x?a=1&b=2"),
+        ("https://h.org/x?utm_source=a&gclid=z", "https://h.org/x"),
+        ("not-a-url", "not-a-url"),                       # passthrough
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    out = df.select("url", "expect", canonical_url(F.col("url")).alias("canon"))
+    bad = out.filter(F.col("canon") != F.col("expect")).collect()
+    assert not bad, bad
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure Catalyst
+
+
 def test_host_stats_port_and_bare_urls_share_host(spark):
     """host3.example.org:8443/...?ref=... and host3.example.org/... fold
     into the same host key."""
