@@ -647,6 +647,14 @@ def q_simhash(spark, sf_dir):
     return simhash_docs(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_spans(spark, sf_dir):
+    """C4-style span dedup: consecutive 10-word spans, global
+    first-occurrence survives, text reassembled in doc order."""
+    from socialmapper_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(_read(spark, sf_dir, "documents"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, Hamming ≤ 3 via pigeonhole-exact 4×16-bit
     banding (lossless prune — oracle is the brute-force all-pairs SQL)."""
@@ -1123,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_spans": q_dedup_spans,
         "winnow_fingerprints": q_winnow,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
@@ -1399,6 +1408,34 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_verified": f"""
             select doc_a, doc_b, jaccard
             from read_parquet('{tg}/golden_jaccard.parquet')
+        """,
+        "dedup_spans": f"""
+            with w as (
+                select doc_id, string_split(text, ' ') as words
+                from documents
+            ),
+            s as (
+                select doc_id, cast(i as integer) as span_idx,
+                       array_to_string(words[i*10+1 : i*10+10], ' ') as span_text
+                from w, unnest(range(cast(ceil(len(words)/10.0) as bigint))) as t(i)
+            ),
+            f as (
+                select doc_id, span_idx, span_text,
+                       row_number() over (partition by span_text
+                                          order by doc_id, span_idx) as rn
+                from s
+            ),
+            k as (select doc_id, span_idx, span_text from f where rn = 1),
+            c as (
+                select doc_id, count(*) as n_kept,
+                       string_agg(span_text, ' ' order by span_idx) as text_clean
+                from k group by doc_id
+            )
+            select w.doc_id,
+                   cast(ceil(len(words)/10.0) as bigint) as n_spans,
+                   coalesce(c.n_kept, 0) as n_kept,
+                   coalesce(c.text_clean, '') as text_clean
+            from w left join c using (doc_id)
         """,
         "simhash_pairs": f"""
             select a.doc_id as doc_a, b.doc_id as doc_b,

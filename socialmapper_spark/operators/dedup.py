@@ -353,6 +353,81 @@ def dedup_groups_py(pairs: list[tuple[int, int]], all_ids=None):
 
 
 # ---------------------------------------------------------------------------
+# Span-level dedup — the C4 recipe (remove any fixed-size span whose exact
+# text occurred earlier in the corpus; first occurrence survives)
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 10
+
+
+def dedup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = SPAN_WORDS,
+) -> DataFrame:
+    """(id, n_spans, n_kept, text_clean) — C4-style span dedup: each doc
+    is cut into consecutive ``span_words``-word spans; a span whose exact
+    text appears anywhere earlier in the corpus ("earlier" = smaller
+    (doc_id, span_idx), the deterministic global order) is removed, and
+    the survivors are rejoined in document order. Exact-dup docs hollow
+    out to ''; near-dups keep only their divergent spans.
+
+    Scale shape (pure Catalyst): span cutting is a narrow in-plan
+    transform+posexplode; the global first-occurrence is ONE hash
+    aggregation keyed on span text (map-side combinable min(struct)); the
+    keep-filter is a shuffle join on span text; the rejoin is one
+    aggregation on doc id. No driver state, no Python. Span text as the
+    join key is fine at fixture scale; at 100 TB swap the key for
+    md5(span) (64-bit collision risk accepted) to cut shuffle bytes —
+    semantics unchanged, the text itself never needs to move.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("long")
+    spans = F.transform(
+        F.sequence(F.lit(0), (n_spans - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    base = docs.select(F.col(id_col), n_spans.alias("n_spans"), spans.alias("__spans"))
+    exploded = base.select(
+        id_col, F.posexplode("__spans").alias("span_idx", "span_text")
+    )
+    first = exploded.groupBy("span_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("__first")
+    )
+    kept = (
+        exploded.join(first, "span_text")
+        .filter(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("span_idx") == F.col("__first.span_idx"))
+        )
+        .select(id_col, "span_idx", "span_text")
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        base.select(id_col, "n_spans")
+        .join(clean, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit) — vectorized pandas UDF (per-word hashing needs Python;
 # Arrow-batched AND numpy-vectorized inside the batch: md5 runs once per
 # *unique* word, the 64-bit sign accumulation is unpackbits + reduceat)

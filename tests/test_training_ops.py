@@ -52,6 +52,30 @@ def test_simhash_similarity_structure(spark, docs):
     assert simhash64_py(None) == 0
 
 
+def test_dedup_spans_c4_semantics(spark):
+    """Global first-occurrence wins; later exact spans removed; text
+    reassembled in doc order; span-less leftovers coalesce to ''."""
+    from socialmapper_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d e g"),   # shares span 'a b c' with doc 0
+        (2, "x y z a b c"),   # second span is exactly 'a b c' → removed
+        (3, "a b c d e f"),   # exact dup of doc 0 → hollows out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["text_clean"])
+        for r in dedup_spans(df, span_words=3).collect()
+    }
+    assert out[0] == (2, 2, "a b c d e f")
+    assert out[1] == (2, 1, "d e g")
+    assert out[2] == (2, 1, "x y z")  # duplicated span dropped, rest kept
+    assert out[3] == (2, 0, "")
+    plan = dedup_spans(df, span_words=3)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure Catalyst
+
+
 def test_simhash_pairs_exact_vs_bruteforce(spark, docs):
     """4×16-bit banding at Hamming ≤ 3 is pigeonhole-exact: output must
     equal the brute-force all-pairs filter over the same signatures."""
