@@ -1057,6 +1057,19 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_admission_gate(spark, sf_dir):
+    """Composite quality gate (language / length / words / digit
+    density), thresholds picked so each rule fires on fixture rows."""
+    from socialmapper_spark.operators.web import admission_gate
+
+    return admission_gate(
+        _crawl(spark, sf_dir),
+        min_chars=122,
+        min_words=23,
+        max_digit_ratio=0.05,
+    )
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1126,14 +1139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_daily_stream": q_host_daily_stream,
         "html_extract": q_html_extract,
         "url_canonical": q_url_canonical,
+        "admission_gate": q_admission_gate,
         # high-value r2-green entries filling out the 50-row gate
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_verified": q_jaccard_verified,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_verified": q_jaccard_verified,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "simhash": q_simhash,
         "winnow_fingerprints": q_winnow,
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
@@ -1490,6 +1504,9 @@ def oracle_sql() -> dict[str, str]:
                      as matches_text
             from read_parquet('{g}/crawl_pages.parquet')
         """,
+        "admission_gate": _admission_gate_sql(
+            f"read_parquet('{g}/crawl_pages.parquet')"
+        ),
         "url_canonical": f"""
             with m as (
                 select url,
@@ -1933,6 +1950,16 @@ _EVENT_WINDOWS_SQL = """
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _admission_gate_sql(table_expr: str) -> str:
+    """DuckDB twin of operators.web.admission_gate at the registry's
+    thresholds (kept beside the Spark call in q_admission_gate)."""
+    from socialmapper_spark.operators.web import admission_gate_sql
+
+    return admission_gate_sql(
+        table_expr, min_chars=122, min_words=23, max_digit_ratio=0.05
+    )
 
 
 def _canonical_url_sql(expr: str) -> str:

@@ -193,6 +193,71 @@ def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def admission_gate(
+    pages: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_chars: int = 40,
+    max_chars: int = 100_000,
+    min_words: int = 8,
+    max_digit_ratio: float = 0.3,
+) -> DataFrame:
+    """Per-page admission decision: (url, keep, reason) — the composite
+    quality gate a training-data pipeline runs before dedup (language,
+    length bounds, word count, digit density). ``reason`` is the FIRST
+    failing rule in the documented priority order ('ok' when admitted),
+    so the decision is deterministic and auditable per row.
+
+    Pure Catalyst (length/split/regexp inside whole-stage codegen) — at
+    corpus scale this is a scan-side projection, no shuffle, no Python.
+    The CASE short-circuits, so the digit-ratio division only evaluates
+    on rows that already passed the non-empty length gate.
+    """
+    text = F.col(text_col)
+    nchars = F.length(text)
+    nwords = F.size(F.split(text, " "))
+    ndigits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    reason = (
+        F.when(~F.col(lang_col).isin(*allowed_langs), F.lit("non_allowed_lang"))
+        .when(nchars < min_chars, F.lit("too_short"))
+        .when(nchars > max_chars, F.lit("too_long"))
+        .when(nwords < min_words, F.lit("too_few_words"))
+        .when(ndigits / nchars > max_digit_ratio, F.lit("too_many_digits"))
+        .otherwise(F.lit("ok"))
+    )
+    return pages.select(
+        "url",
+        reason.alias("reason"),
+        (reason == F.lit("ok")).alias("keep"),
+    )
+
+
+def admission_gate_sql(
+    table_expr: str,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_chars: int = 40,
+    max_chars: int = 100_000,
+    min_words: int = 8,
+    max_digit_ratio: float = 0.3,
+) -> str:
+    """DuckDB twin of :func:`admission_gate` (generated beside the Spark
+    expression so the rule order cannot drift)."""
+    langs = ", ".join(f"'{lang}'" for lang in allowed_langs)
+    reason = f"""case
+        when lang not in ({langs}) then 'non_allowed_lang'
+        when length(text) < {min_chars} then 'too_short'
+        when length(text) > {max_chars} then 'too_long'
+        when len(string_split(text, ' ')) < {min_words} then 'too_few_words'
+        when length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / length(text) > {max_digit_ratio} then 'too_many_digits'
+        else 'ok' end"""
+    return (
+        f"select url, {reason} as reason, ({reason}) = 'ok' as keep "
+        f"from {table_expr}"
+    )
+
+
 def host_daily(pages: DataFrame) -> DataFrame:
     """Per-(day, host) crawl volume: page rows and English-page count.
 

@@ -131,6 +131,34 @@ def test_extract_text_byte_identical_invariant(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_admission_gate_first_matching_reason(spark):
+    """Every rule branch on synthetic rows; reason = FIRST failing rule."""
+    from socialmapper_spark.operators.web import admission_gate
+
+    long_text = "w " * 60  # 120 chars, 60+1 words (trailing split token)
+    rows = [
+        ("u1", "fr", "plenty of words here for the english gate " * 3),
+        ("u2", "en", "tiny"),
+        ("u3", "en", "x" * 200),                       # > max_chars=100
+        ("u4", "en", " ".join(["word"] * 9)),          # ≥min_chars? 44 chars ok, 9 words < 10
+        ("u5", "en", ("12345 " * 12).strip()),         # 12 words, digit ratio ≈ 0.85
+        ("u6", "en", "a perfectly reasonable sentence with many good words in it"),
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    out = {
+        r["url"]: (r["reason"], r["keep"])
+        for r in admission_gate(
+            df, min_chars=5, max_chars=100, min_words=10, max_digit_ratio=0.3
+        ).collect()
+    }
+    assert out["u1"] == ("non_allowed_lang", False)
+    assert out["u2"] == ("too_short", False)
+    assert out["u3"] == ("too_long", False)
+    assert out["u4"] == ("too_few_words", False)
+    assert out["u5"] == ("too_many_digits", False)
+    assert out["u6"] == ("ok", True)
+
+
 def test_canonical_url_rules(spark):
     """Each canonicalization rule on a hand-built edge-case table."""
     from socialmapper_spark.operators.web import canonical_url
