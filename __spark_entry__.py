@@ -1070,6 +1070,18 @@ def q_admission_gate(spark, sf_dir):
     )
 
 
+def q_blocklist(spark, sf_dir):
+    """Domain-blocklist decision per crawl page: suffix-chain explode +
+    broadcast join; blocked_by = most specific matching entry."""
+    from socialmapper_spark.operators.web import blocklist_filter
+
+    bl = spark.createDataFrame(
+        [("host3.example.org",), ("host13.example.org",), ("blocked.net",)],
+        "domain string",
+    )
+    return blocklist_filter(_crawl(spark, sf_dir), bl)
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1140,13 +1152,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "url_canonical": q_url_canonical,
         "admission_gate": q_admission_gate,
+        "blocklist": q_blocklist,
         # high-value r2-green entries filling out the 50-row gate
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
         "minhash_pairs": q_minhash_pairs,
-        "jaccard_verified": q_jaccard_verified,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow,
         "exact_dedup": q_exact_dedup,
@@ -1503,6 +1516,31 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(decode(html), '<[^>]+>', '', 'g') = text
                      as matches_text
             from read_parquet('{g}/crawl_pages.parquet')
+        """,
+        "blocklist": f"""
+            with bl as (
+                select * from (values ('host3.example.org'),
+                                      ('host13.example.org'),
+                                      ('blocked.net')) t(domain)
+            ),
+            p as (
+                select url,
+                       regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host
+                from read_parquet('{g}/crawl_pages.parquet')
+            ),
+            e as (
+                select url, host,
+                       unnest(list_transform(
+                           range(len(string_split(host, '.'))),
+                           i -> array_to_string(string_split(host, '.')[i+1:], '.')
+                       )) as suffix
+                from p
+            )
+            select url, host,
+                   (max(case when suffix in (select domain from bl)
+                             then struct_pack(l := length(suffix), e := suffix)
+                        end)).e as blocked_by
+            from e group by url, host
         """,
         "admission_gate": _admission_gate_sql(
             f"read_parquet('{g}/crawl_pages.parquet')"

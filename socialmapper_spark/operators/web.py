@@ -258,6 +258,58 @@ def admission_gate_sql(
     )
 
 
+def host_suffix_chain(host: Column) -> Column:
+    """['a.b.org', 'b.org', 'org'] — every registrable suffix of a host.
+    The equi-joinable form of "blocked domain X covers its subdomains":
+    exploding ≤ ~5 chain entries per row turns a suffix predicate into a
+    hash join, the only shape that scales (a LIKE/endswith join would be
+    a cross product)."""
+    parts = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
+    )
+
+
+def blocklist_filter(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(url, host, blocked_by) — domain-blocklist decision per page.
+    ``blocklist`` has one ``domain`` column; an entry blocks the exact
+    host and every subdomain. ``blocked_by`` is the most specific
+    (longest) matching entry, NULL when the page passes.
+
+    Scale shape: the suffix chain explodes in-plan (narrow, ≤ chain
+    length per row), the blocklist — always tiny relative to the corpus
+    — broadcasts, and the most-specific-match reduction is a map-side
+    combinable max(struct) keyed on url. No shuffle of the page table
+    beyond the one keyed aggregation; no Python.
+    """
+    hosts = pages.select(
+        F.col(url_col).alias("url"), page_host(F.col(url_col)).alias("host")
+    )
+    exploded = hosts.select(
+        "url", "host", F.explode(host_suffix_chain(F.col("host"))).alias("__suffix")
+    )
+    matched = exploded.join(
+        F.broadcast(
+            blocklist.select(
+                F.col("domain").alias("__suffix"), F.lit(True).alias("__hit")
+            )
+        ),
+        "__suffix",
+        "left",
+    )
+    return matched.groupBy("url", "host").agg(
+        F.max(
+            F.when(
+                F.col("__hit"),
+                F.struct(F.length("__suffix").alias("l"), F.col("__suffix").alias("e")),
+            )
+        )["e"].alias("blocked_by")
+    )
+
+
 def host_daily(pages: DataFrame) -> DataFrame:
     """Per-(day, host) crawl volume: page rows and English-page count.
 

@@ -159,6 +159,34 @@ def test_admission_gate_first_matching_reason(spark):
     assert out["u6"] == ("ok", True)
 
 
+def test_blocklist_subdomains_and_longest_match(spark):
+    """An entry blocks its exact host and subdomains; when several
+    entries match, the most specific (longest) one wins; clean hosts
+    pass with NULL; the blocklist side broadcasts."""
+    from socialmapper_spark.operators.web import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.b.example.org/x",),
+            ("https://example.org/y",),
+            ("https://clean.net/z",),
+            ("https://b.example.org/w",),
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.org",), ("b.example.org",)], "domain string"
+    )
+    out = blocklist_filter(pages, bl)
+    got = {r["url"]: r["blocked_by"] for r in out.collect()}
+    assert got["https://a.b.example.org/x"] == "b.example.org"  # longest wins
+    assert got["https://example.org/y"] == "example.org"
+    assert got["https://b.example.org/w"] == "b.example.org"
+    assert got["https://clean.net/z"] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "EvalPython" not in plan
+
+
 def test_canonical_url_rules(spark):
     """Each canonicalization rule on a hand-built edge-case table."""
     from socialmapper_spark.operators.web import canonical_url
