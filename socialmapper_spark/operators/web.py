@@ -1,5 +1,7 @@
 """Crawl-table operators over the input_hint page shape
-(url, warc_ts, html, text, lang): snapshot dedup + host rollups.
+(url, warc_ts, html, text, lang): snapshot dedup, host rollups,
+html→text extraction, URL canonicalization, the composite admission
+gate, and the domain blocklist filter.
 
 The reference has no crawl-table analog (its nearest dedup is the
 census-unit groupBy, reference socialmapper/census/utils.py); these are
