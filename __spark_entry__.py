@@ -589,6 +589,20 @@ def q_monthly_orders(spark, sf_dir):
 
 # --- training-data pipeline ops over documents/embeddings --------------------
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition ratios (dup unigram/2-gram/
+    3-gram shares), pure Catalyst."""
+    from socialmapper_spark.functions.text import repetition_cols
+
+    rc = repetition_cols(F.col("text"))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        rc["dup_word_ratio"].alias("dup_word_ratio"),
+        rc["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        rc["dup_3gram_ratio"].alias("dup_3gram_ratio"),
+    )
+
+
 def q_doc_stats(spark, sf_dir):
     """Token counting + quality scoring (pure Catalyst)."""
     from socialmapper_spark.functions.text import bpe_token_count, quality_score_cols, token_count
@@ -1153,12 +1167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "admission_gate": q_admission_gate,
         "blocklist": q_blocklist,
+        "repetition_stats": q_repetition_stats,
         # high-value r2-green entries filling out the 50-row gate
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
-        "minhash_pairs": q_minhash_pairs,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow,
@@ -1516,6 +1531,10 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(decode(html), '<[^>]+>', '', 'g') = text
                      as matches_text
             from read_parquet('{g}/crawl_pages.parquet')
+        """,
+        "repetition_stats": f"""
+            select doc_id, {_repetition_sql()}
+            from documents
         """,
         "blocklist": f"""
             with bl as (
@@ -1988,6 +2007,13 @@ _EVENT_WINDOWS_SQL = """
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _repetition_sql() -> str:
+    """DuckDB twin of functions.text.repetition_cols."""
+    from socialmapper_spark.functions.text import repetition_cols_sql
+
+    return repetition_cols_sql("text")
 
 
 def _admission_gate_sql(table_expr: str) -> str:

@@ -169,6 +169,58 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Gopher/MassiveText-style repetition signals: the fraction of
+    duplicate word unigrams / 2-grams / 3-grams inside a document
+    (1 − distinct/total; 0.0 when the doc has too few words to form the
+    gram). High values mark boilerplate and degenerate generations.
+
+    Pure Catalyst: n-grams are built from a 1-based index sequence
+    (element_at stays in bounds by construction — ANSI-safe), distinct
+    counting is array_distinct, everything stays in whole-stage codegen.
+    The DuckDB twin uses the same integer sizes, so the double division
+    is bit-identical across engines.
+    """
+    words = F.split(text, " ")
+    n = F.size(words)
+
+    def gram_dup_ratio(width: int) -> Column:
+        cnt = n - (width - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(width)]
+            ),
+        )
+        return F.when(
+            cnt >= 1,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / cnt.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_word_ratio": gram_dup_ratio(1),
+        "dup_2gram_ratio": gram_dup_ratio(2),
+        "dup_3gram_ratio": gram_dup_ratio(3),
+    }
+
+
+def repetition_cols_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_cols` — returns the three
+    projection expressions as SQL text (same sizes, same division)."""
+    parts = []
+    for width, name in ((1, "dup_word_ratio"), (2, "dup_2gram_ratio"), (3, "dup_3gram_ratio")):
+        sp = f"string_split({expr}, ' ')"
+        cnt = f"(len({sp}) - {width - 1})"
+        gram = " || ' ' || ".join(f"{sp}[i+{j}]" for j in range(width))
+        grams = f"list_transform(range(1, {cnt} + 1), i -> {gram})"
+        ratio = (
+            f"case when {cnt} >= 1 then 1.0 - len(list_distinct({grams}))"
+            f" / cast({cnt} as double) else 0.0 end"
+        )
+        parts.append(f"{ratio} as {name}")
+    return ", ".join(parts)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint: md5 of the
     whitespace-normalized lowercased text. md5 exists in both Spark and

@@ -52,6 +52,33 @@ def test_simhash_similarity_structure(spark, docs):
     assert simhash64_py(None) == 0
 
 
+def test_repetition_cols_known_values(spark):
+    """Hand-computed repetition ratios, including the too-short guard."""
+    from socialmapper_spark.functions.text import repetition_cols
+
+    rows = [
+        (0, "a a a a"),        # words 4/1 distinct → 0.75; 2g 3/1 → 2/3; 3g 2/1 → 0.5
+        (1, "a b c d"),        # all distinct → 0.0 everywhere
+        (2, "a b a b"),        # words 0.5; 2grams: [ab, ba, ab] → 1/3; 3g distinct
+        (3, "x"),              # 1 word: no 2/3-grams → 0.0 guard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rc = repetition_cols(F.col("text"))
+    out = {
+        r["doc_id"]: (r["w"], r["g2"], r["g3"])
+        for r in df.select(
+            "doc_id",
+            rc["dup_word_ratio"].alias("w"),
+            rc["dup_2gram_ratio"].alias("g2"),
+            rc["dup_3gram_ratio"].alias("g3"),
+        ).collect()
+    }
+    assert out[0] == (0.75, 1 - 1 / 3, 0.5)
+    assert out[1] == (0.0, 0.0, 0.0)
+    assert out[2] == (0.5, 1 - 2 / 3, 0.0)
+    assert out[3] == (0.0, 0.0, 0.0)
+
+
 def test_dedup_spans_c4_semantics(spark):
     """Global first-occurrence wins; later exact spans removed; text
     reassembled in doc order; span-less leftovers coalesce to ''."""
