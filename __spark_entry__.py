@@ -1096,6 +1096,24 @@ def q_blocklist(spark, sf_dir):
     return blocklist_filter(_crawl(spark, sf_dir), bl)
 
 
+def q_host_cap(spark, sf_dir):
+    """C4-style per-host contribution cap (k=100) over the distinct url
+    set, deterministic (md5(url), url) keep order."""
+    from socialmapper_spark.operators.web import per_host_cap
+
+    return per_host_cap(_crawl(spark, sf_dir).select("url").distinct(), k=100)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag docs sharing any exact 8-gram
+    with the (deterministically chosen) benchmark subset."""
+    from socialmapper_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench)
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1154,8 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_many": q_ivf_ann_many,
         # operators whose implementation changed this round (re-verify)
         "embedding_dup": q_embedding_dup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
         "language_id": q_language_id,
         "cosine_topk_many": q_cosine_topk_many,
         # round-3 crawl-table operators (new — need their first driver row)
@@ -1168,11 +1184,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admission_gate": q_admission_gate,
         "blocklist": q_blocklist,
         "repetition_stats": q_repetition_stats,
+        "host_cap": q_host_cap,
+        "decontaminate": q_decontaminate,
         # high-value r2-green entries filling out the 50-row gate
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "simhash": q_simhash,
@@ -1535,6 +1555,38 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": f"""
             select doc_id, {_repetition_sql()}
             from documents
+        """,
+        "host_cap": f"""
+            with u as (
+                select distinct url from read_parquet('{g}/crawl_pages.parquet')
+            ),
+            r as (
+                select url,
+                       regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host,
+                       row_number() over (
+                         partition by regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+                         order by md5(url), url) as host_rank
+                from u
+            )
+            select url, host, host_rank from r where host_rank <= 100
+        """,
+        "decontaminate": f"""
+            with bg as (
+                select distinct unnest({_grams8_sql()}) as g
+                from documents where doc_id % 97 = 0
+            ),
+            dg as (
+                select doc_id, unnest(list_distinct({_grams8_sql()})) as g
+                from documents
+            ),
+            h as (
+                select doc_id, count(*) as n
+                from dg join bg using (g) group by doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(h.n, 0) as bigint) as n_hit_grams,
+                   coalesce(h.n, 0) > 0 as contaminated
+            from documents d left join h using (doc_id)
         """,
         "blocklist": f"""
             with bl as (
@@ -2007,6 +2059,14 @@ _EVENT_WINDOWS_SQL = """
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _grams8_sql(expr: str = "text") -> str:
+    """DuckDB twin of operators.dedup.word_ngrams_col at n=8."""
+    sp = f"string_split({expr}, ' ')"
+    cnt = f"(len({sp}) - 7)"
+    gram = " || ' ' || ".join(f"{sp}[i+{j}]" for j in range(8))
+    return f"list_transform(range(1, {cnt} + 1), i -> {gram})"
 
 
 def _repetition_sql() -> str:

@@ -428,6 +428,68 @@ def dedup_spans(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing any word n-gram
+# with an evaluation/benchmark set (the standard pre-training hygiene step)
+# ---------------------------------------------------------------------------
+
+DECONTAM_NGRAM = 8
+
+
+def word_ngrams_col(text: F.Column, n: int) -> F.Column:
+    """Array of space-joined word ``n``-grams (1-based element_at from an
+    index sequence — in-bounds by construction, ANSI-safe; empty array
+    when the text has fewer than n words)."""
+    words = F.split(text, " ")
+    cnt = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """(id, contaminated, n_hit_grams) — flags every training document
+    that shares ≥1 exact word ``ngram``-gram with the benchmark corpus
+    (test-set decontamination; n_hit_grams counts the doc's DISTINCT
+    grams that hit, the audit number reviewers ask for).
+
+    Scale shape: the benchmark side — always tiny next to the training
+    corpus — collapses to distinct grams and BROADCASTS, so the corpus
+    scan joins against it map-side with no shuffle of the exploded doc
+    grams; the only wide exchange is the one count aggregation keyed on
+    doc id, carrying matched rows only. Everything is Catalyst; the
+    gram explode is narrow.
+    """
+    bg = (
+        benchmark.select(F.explode(word_ngrams_col(F.col(text_col), ngram)).alias("g"))
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), ngram))).alias("g"),
+    )
+    hits = dg.join(F.broadcast(bg), "g").groupBy(id_col).agg(
+        F.count("*").alias("n_hit_grams")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit) — vectorized pandas UDF (per-word hashing needs Python;
 # Arrow-batched AND numpy-vectorized inside the batch: md5 runs once per
 # *unique* word, the 64-bit sign accumulation is unpackbits + reduceat)

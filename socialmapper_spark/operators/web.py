@@ -312,6 +312,32 @@ def blocklist_filter(
     )
 
 
+def per_host_cap(pages: DataFrame, k: int = 100, url_col: str = "url") -> DataFrame:
+    """(url, host, host_rank) with host_rank ≤ ``k`` — C4-style per-domain
+    contribution cap: at most k pages survive per host, chosen by a
+    deterministic content-blind order (md5(url), url) so the kept subset
+    is stable across runs and partitionings, never "first k seen".
+
+    Expects one row per url (run :func:`snapshot_dedup` first on
+    multi-snapshot tables). One shuffle keyed on host; the per-host sort
+    is bounded by the host's url count. For pathological mega-hosts a
+    rank-free two-pass filter (count-min + threshold on md5 prefix)
+    would avoid the sort entirely; at the k values pipelines use the
+    window form is the simpler, equally-shuffled choice.
+    """
+    hosts = pages.select(
+        F.col(url_col).alias("url"), page_host(F.col(url_col)).alias("host")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("url")), F.col("url"))
+    return (
+        hosts.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= k)
+        .select("url", "host", "host_rank")
+    )
+
+
 def host_daily(pages: DataFrame) -> DataFrame:
     """Per-(day, host) crawl volume: page rows and English-page count.
 

@@ -52,6 +52,49 @@ def test_simhash_similarity_structure(spark, docs):
     assert simhash64_py(None) == 0
 
 
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    """A doc sharing an exact 8-gram with the benchmark is flagged with
+    the distinct-hit count; shorter overlaps and clean docs are not."""
+    from socialmapper_spark.operators.dedup import decontaminate
+
+    bench_text = "one two three four five six seven eight nine"
+    rows = [
+        (0, bench_text),                                    # the benchmark doc itself
+        (1, "zzz one two three four five six seven eight"), # shares 1 eight-gram
+        (2, "one two three four five six seven"),           # only 7 words — clean
+        (3, "totally different words through and through"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_hit_grams"])
+        for r in decontaminate(docs, bench).collect()
+    }
+    assert out[0] == (True, 2)   # benchmark doc: both of its own 8-grams hit
+    assert out[1] == (True, 1)
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 0)
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "EvalPython" not in plan
+
+
+def test_per_host_cap_deterministic(spark):
+    """k=1 keeps exactly one url per host, chosen by (md5(url), url) —
+    stable under input order."""
+    from socialmapper_spark.operators.web import per_host_cap
+
+    urls = [(f"https://h{i % 3}.org/p{j}",) for i in range(3) for j in range(5)]
+    df = spark.createDataFrame(urls, "url string").distinct()
+    a = sorted(r["url"] for r in per_host_cap(df, k=1).collect())
+    b = sorted(
+        r["url"]
+        for r in per_host_cap(df.orderBy(F.col("url").desc()), k=1).collect()
+    )
+    assert a == b and len(a) == 3
+    ranks = [r["host_rank"] for r in per_host_cap(df, k=2).collect()]
+    assert sorted(ranks) == [1, 1, 1, 2, 2, 2]
+
+
 def test_repetition_cols_known_values(spark):
     """Hand-computed repetition ratios, including the too-short guard."""
     from socialmapper_spark.functions.text import repetition_cols
