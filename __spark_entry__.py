@@ -1114,6 +1114,21 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench)
 
 
+def q_admission_gate_stream(spark, sf_dir):
+    """Streaming twin of the admission gate (stateless append mode) —
+    row-equal to batch, checked against the SAME SQL oracle."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import admission_gate_stream
+
+    return admission_gate_stream(
+        spark,
+        str(ensure_crawl_fixture(sf_dir)),
+        min_chars=122,
+        min_words=23,
+        max_digit_ratio=0.05,
+    )
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1191,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
+        "admission_gate_stream": q_admission_gate_stream,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "minhash_pairs": q_minhash_pairs,
@@ -1614,6 +1630,9 @@ def oracle_sql() -> dict[str, str]:
             from e group by url, host
         """,
         "admission_gate": _admission_gate_sql(
+            f"read_parquet('{g}/crawl_pages.parquet')"
+        ),
+        "admission_gate_stream": _admission_gate_sql(
             f"read_parquet('{g}/crawl_pages.parquet')"
         ),
         "url_canonical": f"""

@@ -405,6 +405,35 @@ def host_daily_stream(
     )
 
 
+def admission_gate_stream(
+    spark: SparkSession,
+    crawl_dir: str,
+    file_glob: str = "crawl_pages.parquet",
+    **gate_kwargs,
+) -> DataFrame:
+    """Structured Streaming twin of :func:`admission_gate` — the gate as
+    a continuous ingest filter. Stateless (pure projection), so append
+    mode emits every decision exactly once with zero state store usage;
+    must equal the batch gate row-for-row (same oracle)."""
+    schema = spark.read.option("pathGlobFilter", file_glob).parquet(crawl_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_glob)
+        .parquet(crawl_dir)
+    )
+    gated = admission_gate(stream, **gate_kwargs)
+    sink = f"admission_gate_{uuid.uuid4().hex[:12]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def snapshot_dedup_stream(
     spark: SparkSession,
     crawl_dir: str,
