@@ -603,6 +603,52 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub gate: inject synthetic emails/IPs/phones into fixture
+    docs deterministically (md5-branch harness, same construction in the
+    oracle), then scrub + audit-count."""
+    from socialmapper_spark.functions.text import pii_cols
+
+    docs = _read(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("text")), 1, 1)
+    injected = (
+        F.when(
+            h.isin("0", "1", "2", "3"),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            h.isin("4", "5", "6", "7"),
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        )
+        .when(
+            h.isin("8", "9", "a", "b"),
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 (555) 123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    pc = pii_cols(injected)
+    return docs.select(
+        "doc_id",
+        pc["text_scrubbed"].alias("text_scrubbed"),
+        pc["n_emails"].alias("n_emails"),
+        pc["n_ips"].alias("n_ips"),
+        pc["n_phones"].alias("n_phones"),
+    )
+
+
 def q_doc_stats(spark, sf_dir):
     """Token counting + quality scoring (pure Catalyst)."""
     from socialmapper_spark.functions.text import bpe_token_count, quality_score_cols, token_count
@@ -1188,7 +1234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators whose implementation changed this round (re-verify)
         "embedding_dup": q_embedding_dup,
         "language_id": q_language_id,
-        "cosine_topk_many": q_cosine_topk_many,
         # round-3 crawl-table operators (new — need their first driver row)
         "snapshot_dedup": q_snapshot_dedup,
         "host_stats": q_host_stats,
@@ -1201,12 +1246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "host_cap": q_host_cap,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         # high-value r2-green entries filling out the 50-row gate
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
         "admission_gate_stream": q_admission_gate_stream,
+        "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "minhash_pairs": q_minhash_pairs,
@@ -1571,6 +1618,23 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": f"""
             select doc_id, {_repetition_sql()}
             from documents
+        """,
+        "pii_scrub": f"""
+            with m as (
+                select doc_id,
+                       case when substr(md5(text), 1, 1) in ('0','1','2','3')
+                              then text || ' contact user' || cast(doc_id as varchar)
+                                   || '@example.com'
+                            when substr(md5(text), 1, 1) in ('4','5','6','7')
+                              then text || ' from 10.0.0.'
+                                   || cast(doc_id % 250 as varchar)
+                            when substr(md5(text), 1, 1) in ('8','9','a','b')
+                              then text || ' call +1 (555) 123-'
+                                   || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                            else text end as text
+                from documents
+            )
+            select doc_id, {_pii_sql()} from m
         """,
         "host_cap": f"""
             with u as (
@@ -2078,6 +2142,13 @@ _EVENT_WINDOWS_SQL = """
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of functions.text.pii_cols."""
+    from socialmapper_spark.functions.text import pii_cols_sql
+
+    return pii_cols_sql("text")
 
 
 def _grams8_sql(expr: str = "text") -> str:

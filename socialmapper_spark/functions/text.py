@@ -221,6 +221,53 @@ def repetition_cols_sql(expr: str = "text") -> str:
     return ", ".join(parts)
 
 
+# PII patterns — simple-regex family (no lookaround, no possessive
+# quantifiers) so Spark's Java regex and DuckDB's RE2 match identically
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d\s()\-]{7,}\d"
+
+
+def pii_cols(text: Column) -> dict[str, Column]:
+    """PII scrubbing for training text: emails, IPv4s, and phone-shaped
+    number runs are replaced by typed placeholder tokens, with per-doc
+    audit counts (counted on the ORIGINAL text; the scrub chain applies
+    email → ip → phone so earlier placeholders can't be re-matched).
+    Pure Catalyst regexp — scan-side projection, no shuffle, no Python.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return {
+        "text_scrubbed": scrubbed,
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long"),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long"),
+    }
+
+
+def pii_cols_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`pii_cols` — projection expressions as SQL."""
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4_RE}', '<IP>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return (
+        f"{scrub} as text_scrubbed, "
+        f"cast(len(regexp_extract_all({expr}, '{PII_EMAIL_RE}')) as bigint) as n_emails, "
+        f"cast(len(regexp_extract_all({expr}, '{PII_IPV4_RE}')) as bigint) as n_ips, "
+        f"cast(len(regexp_extract_all({expr}, '{PII_PHONE_RE}')) as bigint) as n_phones"
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint: md5 of the
     whitespace-normalized lowercased text. md5 exists in both Spark and

@@ -95,6 +95,35 @@ def test_per_host_cap_deterministic(spark):
     assert sorted(ranks) == [1, 1, 1, 2, 2, 2]
 
 
+def test_pii_scrub_patterns(spark):
+    """Emails/IPv4s/phone runs are replaced by typed placeholders with
+    counts from the original text; clean text passes through unchanged."""
+    from socialmapper_spark.functions.text import pii_cols
+
+    rows = [
+        (0, "write j.doe+x@mail.example.com and a.b@c.io today"),
+        (1, "server at 192.168.1.1 and 10.0.0.7 responded"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "no personal information in this text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pc = pii_cols(F.col("text"))
+    out = {
+        r["doc_id"]: (r["s"], r["e"], r["i"], r["p"])
+        for r in df.select(
+            "doc_id",
+            pc["text_scrubbed"].alias("s"),
+            pc["n_emails"].alias("e"),
+            pc["n_ips"].alias("i"),
+            pc["n_phones"].alias("p"),
+        ).collect()
+    }
+    assert out[0] == ("write <EMAIL> and <EMAIL> today", 2, 0, 0)
+    assert out[1] == ("server at <IP> and <IP> responded", 0, 2, 0)
+    assert out[2] == ("call <PHONE> now", 0, 0, 1)
+    assert out[3] == ("no personal information in this text", 0, 0, 0)
+
+
 def test_repetition_cols_known_values(spark):
     """Hand-computed repetition ratios, including the too-short guard."""
     from socialmapper_spark.functions.text import repetition_cols
