@@ -603,6 +603,21 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+_STRATA_RATES = {"en": 0.5, "es": 1.0, "fr": 0.25}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing sampler: deterministic md5-threshold keep
+    decision per (lang stratum, url key)."""
+    from socialmapper_spark.functions.text import stratified_keep
+
+    return _crawl(spark, sf_dir).select(
+        "url",
+        "lang",
+        stratified_keep(F.col("lang"), F.col("url"), _STRATA_RATES).alias("keep"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub gate: inject synthetic emails/IPs/phones into fixture
     docs deterministically (md5-branch harness, same construction in the
@@ -1195,7 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (scripts/check_correctness.py) still covers them every round."""
     return {
         # flagship core (always in front — headline semantics)
-        "geoparse": q_geoparse,
+        # geoparse rotated behind the gate for r3: r2-driver-green,
+        # unchanged, and covered in-gate transitively (flagship + PIP
+        # consume it) plus the golden-parquet pytest
         "pip_assignments": q_pip_assignments,
         "knn_nearest": q_knn_nearest,
         "knn_kring": q_knn_kring,
@@ -1247,12 +1264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
         # high-value r2-green entries filling out the 50-row gate
         "simhash_pairs": q_simhash_pairs,
         "dedup_spans": q_dedup_spans,
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
         "admission_gate_stream": q_admission_gate_stream,
+        "geoparse": q_geoparse,
         "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1618,6 +1637,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": f"""
             select doc_id, {_repetition_sql()}
             from documents
+        """,
+        "stratified_sample": f"""
+            select url, lang, {_stratified_sql()} as keep
+            from read_parquet('{g}/crawl_pages.parquet')
         """,
         "pii_scrub": f"""
             with m as (
@@ -2142,6 +2165,14 @@ _EVENT_WINDOWS_SQL = """
 
 # SQL-side twin of functions.text.TOKEN_RE (single-quoted, escaped)
 TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def _stratified_sql() -> str:
+    """DuckDB twin of functions.text.stratified_keep at the registry's
+    rates."""
+    from socialmapper_spark.functions.text import stratified_keep_sql
+
+    return stratified_keep_sql("lang", "url", _STRATA_RATES)
 
 
 def _pii_sql() -> str:

@@ -268,6 +268,43 @@ def pii_cols_sql(expr: str = "text") -> str:
     )
 
 
+def _rate_threshold_hex(rate: float) -> str:
+    """8-hex-char md5-prefix threshold for a keep rate in [0, 1)."""
+    return format(max(0, min(int(rate * 16**8), 16**8 - 1)), "08x")
+
+
+def stratified_keep(
+    stratum: Column, key: Column, rates: dict[str, float]
+) -> Column:
+    """Deterministic per-stratum sampling decision: keep a row iff the
+    first 8 hex chars of md5(key) fall under its stratum's rate
+    threshold. Content-keyed (never partition- or order-dependent), so
+    the kept subset is reproducible across runs, engines, and cluster
+    sizes — the language-rebalancing sampler of a training-data
+    pipeline. Strata missing from ``rates`` are dropped (keep=false);
+    rate ≥ 1.0 keeps everything in the stratum.
+    """
+    h = F.substring(F.md5(key), 1, 8)
+    out = F.lit(False)
+    for s, r in sorted(rates.items()):
+        keep = F.lit(True) if r >= 1.0 else (h < F.lit(_rate_threshold_hex(r)))
+        out = F.when(stratum == F.lit(s), keep).otherwise(out)
+    return out
+
+
+def stratified_keep_sql(
+    stratum_expr: str, key_expr: str, rates: dict[str, float]
+) -> str:
+    """DuckDB twin of :func:`stratified_keep` (same thresholds, same
+    string comparison on the md5 hex prefix)."""
+    h = f"substr(md5({key_expr}), 1, 8)"
+    branches = []
+    for s, r in sorted(rates.items()):
+        keep = "true" if r >= 1.0 else f"{h} < '{_rate_threshold_hex(r)}'"
+        branches.append(f"when {stratum_expr} = '{s}' then {keep}")
+    return "case " + " ".join(branches) + " else false end"
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint: md5 of the
     whitespace-normalized lowercased text. md5 exists in both Spark and

@@ -95,6 +95,37 @@ def test_per_host_cap_deterministic(spark):
     assert sorted(ranks) == [1, 1, 1, 2, 2, 2]
 
 
+def test_stratified_keep_rates_and_determinism(spark):
+    """Keep decisions are content-keyed (input-order invariant), rate 1.0
+    keeps all, unknown strata drop, and realized rates track targets."""
+    from socialmapper_spark.functions.text import stratified_keep
+
+    rows = [(f"k{i}", ["en", "es", "de"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "key string, lang string")
+    rates = {"en": 0.5, "es": 1.0}
+    out = df.select(
+        "key", "lang", stratified_keep(F.col("lang"), F.col("key"), rates).alias("keep")
+    )
+    kept = {(r["lang"], r["keep"]) for r in out.collect()}
+    by = {
+        r["lang"]: r["n"]
+        for r in out.filter("keep").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["es"] == 1000          # rate 1.0 → everything
+    assert "de" not in by            # unknown stratum → dropped
+    assert 400 <= by["en"] <= 600    # ~0.5 of 1000
+    # determinism: same decisions under reversed input order
+    a = sorted(r["key"] for r in out.filter("keep").collect())
+    b = sorted(
+        r["key"]
+        for r in df.orderBy(F.col("key").desc())
+        .select("key", stratified_keep(F.col("lang"), F.col("key"), rates).alias("keep"))
+        .filter("keep")
+        .collect()
+    )
+    assert a == b
+
+
 def test_pii_scrub_patterns(spark):
     """Emails/IPv4s/phone runs are replaced by typed placeholders with
     counts from the original text; clean text passes through unchanged."""
