@@ -262,3 +262,20 @@ def test_knn_kring_caches_released_via_helper(spark, geo_small):
     assert release_caches(out) == 2
     assert not any(h.is_cached for h in handles)
     assert release_caches(probes) == 0  # frames without handles are no-ops
+
+
+def test_driver_gate_entries_all_have_oracles():
+    """The driver's CORRECTNESS gate checks the FIRST 50 queries() —
+    every one of them must carry an oracle_sql twin (a gate slot spent
+    on a rows-only check is wasted verification surface). Pins the
+    registry composition against accidental reorders."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    keys = list(e.queries())
+    assert len(keys) == len(set(keys))
+    osql = e.oracle_sql()
+    missing = [k for k in keys[:50] if k not in osql]
+    assert missing == [], f"gate entries without oracles: {missing}"
