@@ -1190,6 +1190,37 @@ def q_admission_gate_stream(spark, sf_dir):
     )
 
 
+def q_crawl_curation(spark, sf_dir):
+    """End-to-end crawl curation — the composition a 100-TB pipeline
+    actually runs, as ONE plan: latest-snapshot dedup → quality
+    admission gate → domain blocklist → per-host cap → canonical key.
+    Every stage is the registry operator; the oracle composes their SQL
+    twins stage-for-stage."""
+    from socialmapper_spark.operators.web import (
+        admission_gate,
+        blocklist_filter,
+        canonical_url,
+        per_host_cap,
+        snapshot_dedup,
+    )
+
+    d = snapshot_dedup(_crawl(spark, sf_dir))
+    kept = admission_gate(
+        d, min_chars=122, min_words=23, max_digit_ratio=0.05
+    ).filter("keep").select("url")
+    bl = spark.createDataFrame(
+        [("host3.example.org",), ("host13.example.org",)], "domain string"
+    )
+    unblocked = blocklist_filter(d, bl).filter(
+        F.col("blocked_by").isNull()
+    ).select("url")
+    admitted = d.select("url").join(kept, "url").join(unblocked, "url")
+    capped = per_host_cap(admitted, k=50)
+    return capped.select(
+        "url", "host", "host_rank", canonical_url(F.col("url")).alias("canonical")
+    )
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1271,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 50-row driver gate ends here; below: multiply-verified r1/r2
         # entries still checked by the local oracle replica each round ---
         "admission_gate_stream": q_admission_gate_stream,
+        "crawl_curation": q_crawl_curation,
         "geoparse": q_geoparse,
         "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
@@ -1638,6 +1670,51 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {_repetition_sql()}
             from documents
         """,
+        "crawl_curation": f"""
+            with d as (
+                select url, lang, text from (
+                    select url, lang, text,
+                           row_number() over (
+                             partition by url
+                             order by warc_ts desc, md5(text) desc) as rn
+                    from read_parquet('{g}/crawl_pages.parquet'))
+                where rn = 1
+            ),
+            kept as (
+                select url from ({{gate}}) where keep
+            ),
+            hosts as (
+                select url,
+                       regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host
+                from d
+            ),
+            e as (
+                select url, host,
+                       unnest(list_transform(
+                           range(len(string_split(host, '.'))),
+                           i -> array_to_string(string_split(host, '.')[i+1:], '.')
+                       )) as suffix
+                from hosts
+            ),
+            unblocked as (
+                select url from e
+                group by url, host
+                having max(case when suffix in
+                    ('host3.example.org', 'host13.example.org') then 1 end) is null
+            ),
+            admitted as (
+                select hosts.url, hosts.host
+                from hosts join kept using (url) join unblocked using (url)
+            ),
+            r as (
+                select url, host,
+                       row_number() over (
+                         partition by host order by md5(url), url) as host_rank
+                from admitted
+            )
+            select url, host, host_rank, {{canon}} as canonical
+            from r where host_rank <= 50
+        """.format(gate=_admission_gate_sql("d"), canon=_canonical_url_sql("url")),
         "stratified_sample": f"""
             select url, lang, {_stratified_sql()} as keep
             from read_parquet('{g}/crawl_pages.parquet')
