@@ -210,6 +210,28 @@ def test_canonical_url_rules(spark):
     assert "EvalPython" not in plan  # pure Catalyst
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(x)) == canonical(x) over every messy-harness
+    branch — the defining property of a canonicalizer (a second pass in
+    a multi-stage pipeline must be a no-op)."""
+    from socialmapper_spark.operators.web import canonical_url
+
+    base = _crawl(spark).select("url").distinct().limit(200)
+    h = F.substring(F.md5(F.col("url")), 1, 1)
+    messy = (
+        F.when(h.isin("0", "1", "2", "3"),
+               F.concat(F.upper(F.substring(F.col("url"), 1, 12)), F.expr("substring(url, 13)")))
+        .when(h.isin("4", "5", "6", "7"),
+              F.regexp_replace(F.col("url"), "://([^/]+)", "://$1:443"))
+        .when(h.isin("8", "9", "a", "b"),
+              F.concat(F.col("url"), F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .otherwise(F.concat(F.col("url"), F.lit("/")))
+    )
+    once = base.select(canonical_url(messy).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
 def test_host_stats_port_and_bare_urls_share_host(spark):
     """host3.example.org:8443/...?ref=... and host3.example.org/... fold
     into the same host key."""
