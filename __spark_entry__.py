@@ -1190,6 +1190,14 @@ def q_admission_gate_stream(spark, sf_dir):
     )
 
 
+def q_host_top_terms(spark, sf_dir):
+    """Top-5 host-characteristic terms (tf / document-frequency score —
+    IEEE-division-exact across engines)."""
+    from socialmapper_spark.operators.web import host_top_terms
+
+    return host_top_terms(_crawl(spark, sf_dir))
+
+
 def q_crawl_curation(spark, sf_dir):
     """End-to-end crawl curation — the composition a 100-TB pipeline
     actually runs, as ONE plan: latest-snapshot dedup → quality
@@ -1303,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries still checked by the local oracle replica each round ---
         "admission_gate_stream": q_admission_gate_stream,
         "crawl_curation": q_crawl_curation,
+        "host_top_terms": q_host_top_terms,
         "geoparse": q_geoparse,
         "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
@@ -1669,6 +1678,26 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": f"""
             select doc_id, {_repetition_sql()}
             from documents
+        """,
+        "host_top_terms": f"""
+            with words as (
+                select regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host,
+                       unnest(string_split(text, ' ')) as word
+                from read_parquet('{g}/crawl_pages.parquet')
+            ),
+            w as (select host, word from words where length(word) >= 4),
+            tf as (select host, word, count(*) as tf from w group by 1, 2),
+            dfh as (select word, count(distinct host) as dfh from w group by 1),
+            scored as (
+                select tf.host, tf.word, tf.tf, dfh.dfh,
+                       cast(tf.tf as double) / dfh.dfh as score
+                from tf join dfh using (word)
+            )
+            select host, word, tf, dfh, score, term_rank from (
+                select *, row_number() over (
+                    partition by host order by score desc, word asc) as term_rank
+                from scored)
+            where term_rank <= 5
         """,
         "crawl_curation": f"""
             with d as (

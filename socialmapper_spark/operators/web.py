@@ -405,6 +405,46 @@ def host_daily_stream(
     )
 
 
+def host_top_terms(
+    pages: DataFrame, k: int = 5, min_len: int = 4, url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, word, tf, dfh, score, term_rank) — the top-``k`` most
+    host-characteristic terms per host: score = tf / dfh, term frequency
+    within the host divided by the number of hosts carrying the term
+    (reciprocal document frequency — same ordering intuition as tf-idf,
+    but a single IEEE division instead of a log, so the score is
+    bit-identical across engines and the oracle can hash it; logs are
+    libm-dependent).
+
+    Scale shape: word explode is narrow; tf is one hash agg on
+    (host, word); dfh is one hash agg on word (count distinct host =
+    two-phase partial agg); the tf⋈dfh join shuffles on word — at
+    corpus scale the vocabulary side is Zipf-compact after the min_len
+    filter and AQE handles the hot-word skew; top-k is a bounded
+    per-host window.
+    """
+    from pyspark.sql import Window
+
+    words = pages.select(
+        page_host(F.col(url_col)).alias("host"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.length("word") >= min_len)
+    tf = words.groupBy("host", "word").agg(F.count("*").alias("tf"))
+    dfh = words.groupBy("word").agg(F.countDistinct("host").alias("dfh"))
+    scored = tf.join(dfh, "word").withColumn(
+        "score", F.col("tf").cast("double") / F.col("dfh")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("host", "word", "tf", "dfh", "score", "term_rank")
+    )
+
+
 def admission_gate_stream(
     spark: SparkSession,
     crawl_dir: str,
