@@ -210,6 +210,28 @@ def test_canonical_url_rules(spark):
     assert "EvalPython" not in plan  # pure Catalyst
 
 
+def test_host_top_terms_ranks_host_specific_words(spark):
+    """A word unique to one host outranks corpus-wide words; ranks are
+    dense 1..k; score = tf/dfh exactly."""
+    from socialmapper_spark.operators.web import host_top_terms
+
+    rows = [
+        ("https://a.org/1", "zebra zebra common words here"),
+        ("https://a.org/2", "zebra common words here"),
+        ("https://b.org/1", "common words here banana"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = host_top_terms(df, k=2)
+    top = {
+        (r["host"], r["term_rank"]): (r["word"], r["tf"], r["dfh"], r["score"])
+        for r in out.collect()
+    }
+    assert top[("a.org", 1)] == ("zebra", 3, 1, 3.0)   # host-unique, tf=3
+    assert top[("b.org", 1)] == ("banana", 1, 1, 1.0)  # host-unique beats shared
+    # shared words: dfh=2 → score 0.5·tf < any unique word here
+    assert top[("a.org", 2)][3] < 3.0
+
+
 def test_canonical_url_idempotent(spark):
     """canonical(canonical(x)) == canonical(x) over every messy-harness
     branch — the defining property of a canonicalizer (a second pass in
