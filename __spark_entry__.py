@@ -838,6 +838,22 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(verified, docs=docs)
 
 
+def q_dedup_groups_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    (O(log n)-round variant for long-chain graphs) — must equal the
+    hash-min result exactly, so it shares dedup_groups' golden oracle."""
+    from socialmapper_spark.operators.dedup import (
+        dedup_groups,
+        jaccard_verify,
+        near_dup_pairs_minhash,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(docs)
+    verified = jaccard_verify(docs, pairs, threshold=0.3).select("doc_a", "doc_b")
+    return dedup_groups(verified, docs=docs, method="star")
+
+
 def q_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: typed metadata from an opaque binary column
     via mapInPandas (decode stubbed deterministically)."""
@@ -1246,52 +1262,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries only, so the newest / this-round-changed operators sit
     up front; long-multiply-verified entries (TPC-H relational set, r1-green
     basics) rotate to the back where the local oracle replica
-    (scripts/check_correctness.py) still covers them every round."""
+    (scripts/check_correctness.py) still covers them every round.
+
+    ROTATION POLICY (pinned after the r3 review): (1) the flagship core
+    (pip/knn/flagship + geoparse, the headline operators) holds permanent
+    in-gate slots; (2) every entry whose Spark plan OR oracle SQL changed
+    this round goes in-gate; (3) entries that have never had a driver row
+    go in-gate before anything rotates back in; (4) remaining slots are
+    filled oldest-driver-row-first; multi-round-green entries (the
+    classification-bin family, TPC-H basics) rotate out first. The local
+    replica covers 100% of the registry every round regardless
+    (CORRECTNESS_LOCAL_r{{N}}.txt), so rotation only changes WHICH rows
+    the driver re-proves, never what is verified."""
     return {
-        # flagship core (always in front — headline semantics)
-        # geoparse rotated behind the gate for r3: r2-driver-green,
-        # unchanged, and covered in-gate transitively (flagship + PIP
-        # consume it) plus the golden-parquet pytest
+        # flagship core (permanent in-gate slots — headline semantics;
+        # geoparse back in-gate per r3 ADVICE after its r3 rotation)
         "pip_assignments": q_pip_assignments,
         "knn_nearest": q_knn_nearest,
         "knn_kring": q_knn_kring,
         "flagship_demographics": q_flagship,
-        # round-2 additions that never saw a driver row (VERDICT r2 #1)
-        "zcta_prefix": q_zcta_prefix,
-        "zcta_assignments": q_zcta_assignments,
-        "zcta_cleanse": q_zcta_cleanse,
-        "variable_summary": q_variable_summary,
-        "tag_filter": q_tag_filter,
-        "speed_clamp": q_speed_clamp,
-        "geometry_quarantine": q_geometry_quarantine,
-        "std_mean_bins": q_std_mean_bins,
-        "percentile_bins": q_percentile_bins,
-        "box_plot_bins": q_box_plot_bins,
-        "defined_interval_bins": q_defined_interval_bins,
-        "maximum_breaks_bins": q_maximum_breaks_bins,
-        "head_tail_bins": q_head_tail_bins,
-        "fisher_jenks_bins": q_fisher_jenks_bins,
-        "natural_breaks_bins": q_natural_breaks_bins,
-        "jenks_caspall_bins": q_jenks_caspall_bins,
-        "neighbor_states": q_neighbor_states,
-        "poi_bbox": q_poi_bbox,
-        "cluster_bbox": q_cluster_bbox,
-        "centroid_nearest_poi": q_centroid_nearest_poi,
-        "frame_sample": q_frame_sample,
-        "geoid_build": q_geoid_build,
-        "rasterize": q_rasterize,
-        "vectorize_hotspots": q_vectorize_hotspots,
-        "lineage_stats": q_lineage_stats,
-        # round-3 additions
-        "max_p_bins": q_max_p_bins,
+        "geoparse": q_geoparse,
+        # never-driver-checked entries (r3 VERDICT task #3)
+        "crawl_curation": q_crawl_curation,
+        "host_top_terms": q_host_top_terms,
+        "admission_gate_stream": q_admission_gate_stream,
+        # round-4 changed plans / new variants (re-verify in-gate)
+        "winnow_fingerprints": q_winnow,
+        "dedup_spans": q_dedup_spans,
         "dedup_groups": q_dedup_groups,
-        "lsh_ann_many": q_lsh_ann_many,
-        "ivf_ann_many": q_ivf_ann_many,
-        # operators whose implementation changed this round (re-verify)
-        "embedding_dup": q_embedding_dup,
-        "language_id": q_language_id,
-        # round-3 crawl-table operators (new — need their first driver row)
+        "dedup_groups_star": q_dedup_groups_star,
+        "pii_scrub": q_pii_scrub,
         "snapshot_dedup": q_snapshot_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_verified": q_jaccard_verified,
+        "embedding_dup": q_embedding_dup,
+        # crawl-curation surface (r3-new, one driver row so far)
         "host_stats": q_host_stats,
         "host_daily": q_host_daily,
         "host_daily_stream": q_host_daily_stream,
@@ -1302,24 +1308,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "host_cap": q_host_cap,
         "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
-        # high-value r2-green entries filling out the 50-row gate
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_spans": q_dedup_spans,
-        # --- 50-row driver gate ends here; below: multiply-verified r1/r2
-        # entries still checked by the local oracle replica each round ---
-        "admission_gate_stream": q_admission_gate_stream,
-        "crawl_curation": q_crawl_curation,
-        "host_top_terms": q_host_top_terms,
-        "geoparse": q_geoparse,
+        "language_id": q_language_id,
+        # one-driver-row r3 entries keeping their slot one more round
+        "lsh_ann_many": q_lsh_ann_many,
+        "ivf_ann_many": q_ivf_ann_many,
+        "lineage_stats": q_lineage_stats,
+        "rasterize": q_rasterize,
+        "vectorize_hotspots": q_vectorize_hotspots,
+        "frame_sample": q_frame_sample,
+        "geoid_build": q_geoid_build,
+        # r2/r3-green entries filling the remaining gate slots
+        # (oldest driver row first)
+        "zcta_prefix": q_zcta_prefix,
+        "zcta_assignments": q_zcta_assignments,
+        "zcta_cleanse": q_zcta_cleanse,
+        "variable_summary": q_variable_summary,
+        "tag_filter": q_tag_filter,
+        "speed_clamp": q_speed_clamp,
+        "geometry_quarantine": q_geometry_quarantine,
+        "neighbor_states": q_neighbor_states,
+        "poi_bbox": q_poi_bbox,
+        "cluster_bbox": q_cluster_bbox,
+        "centroid_nearest_poi": q_centroid_nearest_poi,
         "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
+        # --- 50-row driver gate ends here; below: multiply-verified
+        # entries (driver-green in ≥2 rounds) still checked by the local
+        # oracle replica every round ---
         "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_verified": q_jaccard_verified,
+        "std_mean_bins": q_std_mean_bins,
+        "percentile_bins": q_percentile_bins,
+        "box_plot_bins": q_box_plot_bins,
+        "defined_interval_bins": q_defined_interval_bins,
+        "maximum_breaks_bins": q_maximum_breaks_bins,
+        "head_tail_bins": q_head_tail_bins,
+        "fisher_jenks_bins": q_fisher_jenks_bins,
+        "natural_breaks_bins": q_natural_breaks_bins,
+        "jenks_caspall_bins": q_jenks_caspall_bins,
+        "max_p_bins": q_max_p_bins,
         "simhash": q_simhash,
-        "winnow_fingerprints": q_winnow,
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
@@ -1646,12 +1674,17 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{tg}/golden_winnow.parquet')
         """,
         "snapshot_dedup": f"""
+            -- order-by mirrors Spark's max(struct(ts_us, md5(text), lang,
+            -- text)) IN FULL: lang/text tiebreaks included so rows tying
+            -- on (ts, text-hash) still pick one deterministic winner in
+            -- both engines (same total order, never nondeterministic)
             select url, epoch_us(warc_ts) as warc_ts_us, lang, text, n_snapshots
             from (
               select url, warc_ts, lang, text,
                      row_number() over (
                        partition by url
-                       order by warc_ts desc, md5(text) desc) as rn,
+                       order by warc_ts desc, md5(text) desc,
+                                lang desc, text desc) as rn,
                      count(*) over (partition by url) as n_snapshots
               from read_parquet('{g}/crawl_pages.parquet'))
             where rn = 1
@@ -1705,7 +1738,8 @@ def oracle_sql() -> dict[str, str]:
                     select url, lang, text,
                            row_number() over (
                              partition by url
-                             order by warc_ts desc, md5(text) desc) as rn
+                             order by warc_ts desc, md5(text) desc,
+                                      lang desc, text desc) as rn
                     from read_parquet('{g}/crawl_pages.parquet'))
                 where rn = 1
             ),
@@ -1873,6 +1907,10 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{tg}/golden_ivf_ann.parquet')
         """,
         "dedup_groups": f"""
+            select doc_id, group_id, is_canonical
+            from read_parquet('{tg}/golden_dedup_groups.parquet')
+        """,
+        "dedup_groups_star": f"""
             select doc_id, group_id, is_canonical
             from read_parquet('{tg}/golden_dedup_groups.parquet')
         """,

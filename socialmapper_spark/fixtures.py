@@ -1013,7 +1013,14 @@ def ensure_crawl_fixture(sf_dir: str) -> pathlib.Path:
         (rng.uniform(0, 1, n_urls) ** 2 * CRAWL_HOSTS).astype(np.int64),
         CRAWL_HOSTS - 1,
     )
-    # 1..4 snapshots, deterministic in the url index (Knuth multiplicative)
+    # 1..4 snapshots, deterministic in the url index. NOTE: because
+    # 2654435761 ≡ 1 (mod 4), the multiply is an identity under % 4 and
+    # this is exactly 1 + i % 4 — a plain period-4 cycle over the url
+    # index (and thus correlated with the i % 17 port/query branch), not
+    # a pseudo-random spread. That is FINE for what the fixture needs
+    # (a deterministic mix of 1–4 snapshots per url with known totals);
+    # it is pinned as-is because golden row counts (15,000 raw snapshots
+    # at sf0.01) and downstream oracle fixtures depend on it.
     n_snap = (1 + (np.arange(n_urls, dtype=np.uint64) * np.uint64(2654435761)) % 4).astype(
         np.int64
     )

@@ -66,7 +66,21 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """BPE-ish token count via TOKEN_RE (letter/digit runs + symbols)."""
+    """BPE-ish token count via TOKEN_RE (letter/digit runs + symbols).
+
+    PROXY DIVERGENCE NOTE: this is a pre-tokenization segment count, not
+    a vocab-driven BPE merge count. Relative to a real BPE tokenizer
+    (tiktoken/sentencepiece — no wheel ships in this container, so the
+    real count can't be wired behind this API here) it UNDERCOUNTS long
+    or rare words (one letter-run here, several subword merges there)
+    and matches exactly on text whose words are all in-vocab single
+    tokens; digits count one-per-run here vs per-digit-ish under e.g.
+    cl100k_base. Directionally: proxy_count ≤ real_BPE_count on natural
+    text. Sizing corpora by this proxy is fine for RELATIVE comparisons
+    (the bias is text-uniform); absolute token budgets need the real
+    tokenizer. ``tests/test_training_ops.py::test_bpe_proxy_divergence``
+    pins known proxy-vs-real counts so the documented bias can't drift.
+    """
     return F.regexp_count(text, F.lit(TOKEN_RE))
 
 
@@ -231,40 +245,37 @@ PII_PHONE_RE = r"\+?\d[\d\s()\-]{7,}\d"
 def pii_cols(text: Column) -> dict[str, Column]:
     """PII scrubbing for training text: emails, IPv4s, and phone-shaped
     number runs are replaced by typed placeholder tokens, with per-doc
-    audit counts (counted on the ORIGINAL text; the scrub chain applies
-    email → ip → phone so earlier placeholders can't be re-matched).
+    audit counts. Each count is taken on the PROGRESSIVELY scrubbed text
+    (emails on the original, IPs after the email scrub, phones after the
+    IP scrub) — exactly the stage inputs of the replace chain — so every
+    count equals the number of placeholders that stage actually wrote
+    and one substring can never be double-counted across categories
+    (e.g. a ≥9-digit run inside an email local part is scrubbed as
+    <EMAIL> and no longer counted as a phone).
     Pure Catalyst regexp — scan-side projection, no shuffle, no Python.
     """
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE,
-            "<IP>",
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return {
         "text_scrubbed": scrubbed,
         "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long"),
-        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long"),
-        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long"),
+        "n_ips": F.regexp_count(after_email, F.lit(PII_IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long"),
     }
 
 
 def pii_cols_sql(expr: str = "text") -> str:
-    """DuckDB twin of :func:`pii_cols` — projection expressions as SQL."""
-    scrub = (
-        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
-        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
-        f"'{PII_IPV4_RE}', '<IP>', 'g'), "
-        f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
-    )
+    """DuckDB twin of :func:`pii_cols` — projection expressions as SQL
+    (same progressive-scrub stage inputs for the counts)."""
+    after_email = f"regexp_replace({expr}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    after_ip = f"regexp_replace({after_email}, '{PII_IPV4_RE}', '<IP>', 'g')"
+    scrub = f"regexp_replace({after_ip}, '{PII_PHONE_RE}', '<PHONE>', 'g')"
     return (
         f"{scrub} as text_scrubbed, "
         f"cast(len(regexp_extract_all({expr}, '{PII_EMAIL_RE}')) as bigint) as n_emails, "
-        f"cast(len(regexp_extract_all({expr}, '{PII_IPV4_RE}')) as bigint) as n_ips, "
-        f"cast(len(regexp_extract_all({expr}, '{PII_PHONE_RE}')) as bigint) as n_phones"
+        f"cast(len(regexp_extract_all({after_email}, '{PII_IPV4_RE}')) as bigint) as n_ips, "
+        f"cast(len(regexp_extract_all({after_ip}, '{PII_PHONE_RE}')) as bigint) as n_phones"
     )
 
 

@@ -78,6 +78,33 @@ WINNOW_K = 8  # character k-gram length
 WINNOW_W = 4  # winnowing window (guarantee span = k + w - 1 = 11 chars)
 
 
+def winnow_gram_hashes_col(norm: F.Column, k: int = WINNOW_K) -> F.Column:
+    """Array of md5-60 hashes of every character k-gram of an ALREADY
+    normalized text column. Must be given a plain column *reference*
+    (a materialized projection), never the normalization expression
+    inline: Spark does not hoist lambda-invariant subexpressions out of
+    higher-order functions, so an inline ``norm`` expression would be
+    re-evaluated once per k-gram (the quadratic-recompute trap this
+    split exists to avoid)."""
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _md5_hash60(0, norm.substr(i, F.lit(k))),
+    )
+
+
+def winnow_minima_col(hashes: F.Column, w: int = WINNOW_W) -> F.Column:
+    """Sorted distinct minima of each w-window of a gram-hash array.
+    Same materialized-reference contract as
+    :func:`winnow_gram_hashes_col`: pass a column reference, or the hash
+    array recomputes once per window."""
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hashes, j, w))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def winnow_fingerprints_col(
     c: F.Column, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> F.Column:
@@ -93,18 +120,15 @@ def winnow_fingerprints_col(
     ≥ k+w-1 produces at least one shared fingerprint. Ties inside a
     window collapse to the same hash value, so the position-less
     fingerprint SET is tie-rule-independent.
+
+    SCALE WARNING — parity/one-off form only. As a single nested
+    expression the normalization re-evaluates per k-gram and the hash
+    array per window (lambda-invariant recompute: O(len²) md5+regexp per
+    row; measured ~0.85 s per 200-char doc). The corpus-scale form is
+    :func:`winnow_fingerprints`, which materializes the intermediates as
+    projected columns — same output, ~len-linear.
     """
-    norm = normalize_text(c)
-    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: _md5_hash60(0, norm.substr(i, F.lit(k))),
-    )
-    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hashes, j, w))
-    )
-    return F.array_sort(F.array_distinct(mins))
+    return winnow_minima_col(winnow_gram_hashes_col(normalize_text(c), k), w)
 
 
 def winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
@@ -130,17 +154,36 @@ def winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
 
 
 def winnow_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
 ) -> DataFrame:
     """(doc_id, fingerprint) rows — exploded for joins/aggregation.
 
     Scale shape: narrow projection, no shuffle; a near-dup candidate
     pass is the same band-bucket self-join MinHash uses, keyed on
     fingerprint instead of band_key.
+
+    The normalized text and the k-gram hash array are materialized as
+    separate projected columns ON PURPOSE: Catalyst evaluates each
+    projection once per row, whereas the single nested expression form
+    (:func:`winnow_fingerprints_col`) re-evaluates lambda-invariant
+    subtrees per array element — O(len²) md5+regexp per row, a measured
+    ~1000× slowdown at 300-char docs. CollapseProject does not re-inline
+    these aliases today (each intermediate is non-cheap and consumed
+    inside a higher-order function); ``tests/test_training_ops.py``
+    pins the linear-time behavior so a future optimizer change that
+    re-inlines them cannot land silently.
     """
-    return docs.select(
-        id_col,
-        F.explode(winnow_fingerprints_col(F.col(text_col))).alias("fingerprint"),
+    return (
+        docs.withColumn("__norm", normalize_text(F.col(text_col)))
+        .withColumn("__hashes", winnow_gram_hashes_col(F.col("__norm"), k))
+        .select(
+            id_col,
+            F.explode(winnow_minima_col(F.col("__hashes"), w)).alias("fingerprint"),
+        )
     )
 
 
@@ -184,24 +227,67 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_bucket_audit(sized: DataFrame, observation, max_bucket: int) -> DataFrame:
+    """Attach a dropped-bucket audit to a pre-filter bucket-size frame
+    (columns must include ``n`` = bucket row count). The audit rides the
+    query's own action via :class:`pyspark.sql.Observation` — zero extra
+    jobs, no second pass — and reports
+
+      n_buckets_dropped  — buckets with n > max_bucket (excluded pairs)
+      n_rows_in_dropped  — total rows inside those buckets
+
+    so the hot-bucket cap is never a *silent* cap: a run that dropped
+    anything surfaces the loss as a metric (``observation.get`` after the
+    action). The capped operators accept ``observation=`` and thread it
+    here.
+
+    AQE caveat (Spark behavior, pinned in tests/test_round4_ops.py): if
+    the query's FINAL result is completely empty, AQE's
+    empty-relation propagation can replace the plan subtree containing
+    the CollectMetrics node, and ``observation.get`` fails instead of
+    returning the audit. Any run with ≥1 output row reports fine (the
+    overwhelmingly common case — an empty dedup result means no
+    candidate pairs at all); for audit-critical jobs that may legally
+    produce zero pairs, exclude the rule:
+    ``spark.sql.adaptive.optimizer.excludedRules=
+    org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation``.
+    """
+    dropped = F.col("n") > max_bucket
+    return sized.observe(
+        observation,
+        F.coalesce(F.sum(F.when(dropped, 1).otherwise(0)), F.lit(0)).alias(
+            "n_buckets_dropped"
+        ),
+        F.coalesce(F.sum(F.when(dropped, F.col("n")).otherwise(0)), F.lit(0)).alias(
+            "n_rows_in_dropped"
+        ),
+    )
+
+
 def near_dup_pairs_minhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (doc_a < doc_b) sharing ≥1 band.
 
     ``max_bucket`` drops degenerate buckets (identical boilerplate shared
     by thousands of docs) whose quadratic pair blow-up would dominate the
     join at corpus scale; production near-dup pipelines apply the same
-    guard. Dropped buckets are countable via ``minhash_bands`` stats.
+    guard. Pass a :class:`pyspark.sql.Observation` as ``observation`` to
+    get (n_buckets_dropped, n_rows_in_dropped) reported with the action
+    (:func:`attach_bucket_audit`) — the cap is auditable, not silent.
     """
     sig = minhash_signature(docs.select(id_col, text_col), text_col)
     bands = minhash_bands(sig, id_col)
     sized = bands.groupBy("band_idx", "band_key").agg(
         F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
-    ).filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    )
+    if observation is not None:
+        sized = attach_bucket_audit(sized, observation, max_bucket)
+    sized = sized.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     a = sized.select(F.explode("ids").alias("doc_a"), "band_idx", "band_key", "ids")
     pairs = a.select(
         "doc_a", F.explode("ids").alias("doc_b")
@@ -241,6 +327,7 @@ def dedup_groups(
     docs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    method: str = "hashmin",
 ) -> DataFrame:
     """Connected-component grouping of verified near-dup pairs →
     ``(doc_id, group_id, is_canonical)`` — the keep/drop decision table a
@@ -258,13 +345,45 @@ def dedup_groups(
     min aggregate, all keyed on doc_id — no driver state beyond the 1-row
     convergence count. Iterations = component diameter; near-dup
     components are tiny dense cliques (diameter ≤ 2-3 — band-sharing is
-    near-transitive), so the loop converges in 2-4 rounds. For general
-    graphs with long chains swap in alternating large-star/small-star
-    (O(log n) rounds, same join shapes); for this operator's contract
-    hash-min is the simpler, equally-parallel choice. If ``docs`` is
-    given, docs absent from any pair come out as singleton groups
-    (their own canonical).
+    near-transitive), so the default hash-min loop converges in 2-4
+    rounds and is the simpler, equally-parallel choice for this
+    operator's contract. For general graphs with LONG CHAINS (diameter
+    ≫ rounds you can afford) pass ``method='star'``: alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") converges in O(log n) rounds on a path graph
+    where hash-min needs diameter rounds — same join/agg shapes per
+    round, identical output. If ``docs`` is given, docs absent from any
+    pair come out as singleton groups (their own canonical).
     """
+    if method not in ("hashmin", "star"):
+        raise ValueError(f"method must be 'hashmin' or 'star', got {method!r}")
+    if method == "star":
+        labels = _star_labels(pairs, max_iter)
+    else:
+        labels = _hashmin_labels(pairs, max_iter)
+    out = labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("group_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+    if docs is not None:
+        singles = docs.select(id_col).join(
+            labels.select(F.col("node").alias(id_col)), id_col, "left_anti"
+        )
+        out = out.unionByName(
+            singles.select(
+                id_col,
+                F.col(id_col).alias("group_id"),
+                F.lit(True).alias("is_canonical"),
+            )
+        )
+    # the returned plan reads the final localCheckpoint (fixed-point
+    # content); its blocks are released when the frame reference drops
+    return out
+
+
+def _hashmin_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """(node, label) fixed point of hash-to-min label propagation."""
     sym = (
         pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("peer"))
         .unionByName(
@@ -309,26 +428,82 @@ def dedup_groups(
         labels = new.drop("__chg")
         if changed == 0:
             break
-    out = labels.select(
-        F.col("node").alias(id_col),
-        F.col("label").alias("group_id"),
-        (F.col("node") == F.col("label")).alias("is_canonical"),
-    )
-    if docs is not None:
-        singles = docs.select(id_col).join(
-            labels.select(F.col("node").alias(id_col)), id_col, "left_anti"
-        )
-        out = out.unionByName(
-            singles.select(
-                id_col,
-                F.col(id_col).alias("group_id"),
-                F.lit(True).alias("is_canonical"),
-            )
-        )
     sym.unpersist()
-    # the returned plan reads the final localCheckpoint (fixed-point
-    # content); its blocks are released when the frame reference drops
-    return out
+    return labels
+
+
+def _star_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """(node, label) via alternating large-star/small-star rounds.
+
+    Each round: large-star links every neighbor v > u to u's component
+    minimum; small-star links every neighbor v < u (and u itself) to
+    that minimum. The edge set converges to disjoint stars rooted at
+    each component's min node in O(log n) rounds even on path graphs —
+    the long-chain case where hash-min needs diameter rounds. Per-round
+    cost is the same shape as hash-min's: one symmetrize/orient
+    projection, one min aggregate keyed on node, one join. Convergence
+    is detected by a (count, xor-of-row-hashes) checksum — one tiny agg
+    per round, no driver-side edge comparison. localCheckpoint per round
+    truncates the iterative plan exactly like the hash-min loop.
+    """
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        # xor-fold of row hashes: order/partitioning-invariant, map-side
+        # combinable (the lineage.py checksum pattern)
+        r = e.select(F.xxhash64("u", "v").alias("h")).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0).cast("long")).alias("x"),
+        ).collect()[0]
+        return (r["n"], r["x"])
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        # large-star: sym neighbors; m(u) = min(neighbors ∪ {u});
+        # link every v > u to m
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges already oriented u > v; m(u) = min smaller-
+        # neighbor; link u and every smaller neighbor to m
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        oriented = large.join(mins2, "u")
+        small = (
+            oriented.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(oriented.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixed point: edges are stars (u → root); roots label themselves
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("label"))
+        )
+        .distinct()
+    )
 
 
 def dedup_groups_py(pairs: list[tuple[int, int]], all_ids=None):
@@ -375,12 +550,15 @@ def dedup_spans(
 
     Scale shape (pure Catalyst): span cutting is a narrow in-plan
     transform+posexplode; the global first-occurrence is ONE hash
-    aggregation keyed on span text (map-side combinable min(struct)); the
-    keep-filter is a shuffle join on span text; the rejoin is one
-    aggregation on doc id. No driver state, no Python. Span text as the
-    join key is fine at fixture scale; at 100 TB swap the key for
-    md5(span) (64-bit collision risk accepted) to cut shuffle bytes —
-    semantics unchanged, the text itself never needs to move.
+    aggregation keyed on ``md5(span_text)`` (map-side combinable
+    min(struct) over 32-hex keys — a 128-bit content key, collision-safe
+    far past 10^12 spans); the keep-filter is a shuffle join on the same
+    md5 key; the rejoin is an aggregation of kept span INDICES on doc id
+    plus one id-keyed join back to the span arrays. Span text itself
+    crosses exactly one exchange (the final id-join that reassembles
+    text_clean) instead of riding every span-keyed shuffle — at 100 TB
+    the wide exchanges carry (id, span_idx, 32-hex key) rows only.
+    No driver state, no Python.
     """
     words = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("long")
@@ -393,36 +571,38 @@ def dedup_spans(
     base = docs.select(F.col(id_col), n_spans.alias("n_spans"), spans.alias("__spans"))
     exploded = base.select(
         id_col, F.posexplode("__spans").alias("span_idx", "span_text")
-    )
-    first = exploded.groupBy("span_text").agg(
+    ).select(id_col, "span_idx", F.md5(F.col("span_text")).alias("span_key"))
+    first = exploded.groupBy("span_key").agg(
         F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("__first")
     )
     kept = (
-        exploded.join(first, "span_text")
+        exploded.join(first, "span_key")
         .filter(
             (F.col(id_col) == F.col(f"__first.{id_col}"))
             & (F.col("span_idx") == F.col("__first.span_idx"))
         )
-        .select(id_col, "span_idx", "span_text")
+        .select(id_col, "span_idx")
     )
     clean = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
-                lambda s: s["span_text"],
-            ),
-            " ",
-        ).alias("text_clean"),
+        F.sort_array(F.collect_list("span_idx")).alias("__keep_idx"),
     )
     return (
-        base.select(id_col, "n_spans")
-        .join(clean, id_col, "left")
+        base.join(clean, id_col, "left")
         .select(
-            id_col,
-            "n_spans",
+            F.col(id_col),
+            F.col("n_spans"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.col("__keep_idx"),
+                        lambda i: F.element_at(F.col("__spans"), i + 1),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
         )
     )
 
@@ -619,6 +799,7 @@ def near_dup_pairs_simhash(
     text_col: str = "text",
     hamming_max: int = SIMHASH_HAMMING_MAX,
     max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, hamming) with simhash Hamming
     distance ≤ ``hamming_max`` — the signature-level twin of
@@ -630,7 +811,14 @@ def near_dup_pairs_simhash(
     slice (pigeonhole), so the band self-join generates ALL qualifying
     pairs — the banding is a lossless prune, not an approximation
     (pairs reachable only through buckets larger than ``max_bucket``
-    excepted, the same hot-boilerplate guard as the MinHash path).
+    excepted, the same hot-boilerplate guard as the MinHash path; pass
+    an ``observation`` to surface dropped-bucket counts with the action,
+    :func:`attach_bucket_audit`). NOTE for oracle parity: the registered
+    ``simhash_pairs`` oracle is an unconditional brute-force all-pairs
+    join, correct only while no fixture bucket exceeds ``max_bucket`` —
+    ``tests/test_training_ops.py`` asserts that invariant at gate scale
+    so a fixture change that overflows a bucket fails loudly instead of
+    silently diverging from the oracle.
 
     Scale shape: one Arrow-batched UDF pass computes signatures
     (md5-per-unique-word batch kernel); everything after is Catalyst —
@@ -645,14 +833,13 @@ def near_dup_pairs_simhash(
         )
     sims = simhash_docs(docs.select(id_col, text_col), id_col, text_col)
     bands = simhash_bands(sims, id_col)
-    sized = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(
-            F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("members"),
-            F.count("*").alias("n"),
-        )
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    sized = bands.groupBy("band_idx", "band_key").agg(
+        F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("members"),
+        F.count("*").alias("n"),
     )
+    if observation is not None:
+        sized = attach_bucket_audit(sized, observation, max_bucket)
+    sized = sized.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     a = sized.select(F.explode("members").alias("a"), "members")
     pairs = (
         a.select(

@@ -480,6 +480,7 @@ def embedding_near_dup_pairs(
     max_bucket: int = NEAR_DUP_MAX_BUCKET,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — banded multi-table LSH
     (the MinHash band trick applied to hyperplane sign bits): B
@@ -499,17 +500,23 @@ def embedding_near_dup_pairs(
     and small.
 
     Deterministic (seeded planes) — the fixtures twin reproduces the
-    exact row set.
+    exact row set. Pass a :class:`pyspark.sql.Observation` as
+    ``observation`` to report (n_buckets_dropped, n_rows_in_dropped)
+    with the action (``dedup.attach_bucket_audit``) — the hot-bucket
+    cap is auditable, never silent.
     """
+    from socialmapper_spark.operators.dedup import attach_bucket_audit
+
     dim = len(embeddings.select(vec_col).first()[0])
     bands = lsh_band_keys(
         spark, embeddings, dim, id_col, vec_col, tables, bits
     )
-    sized = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.collect_list(id_col).alias("ids"), F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    sized = bands.groupBy("band_idx", "band_key").agg(
+        F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
     )
+    if observation is not None:
+        sized = attach_bucket_audit(sized, observation, max_bucket)
+    sized = sized.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     cand = (
         sized.select(F.explode("ids").alias("vec_a"), "ids")
         .select("vec_a", F.explode("ids").alias("vec_b"))

@@ -417,12 +417,20 @@ def host_top_terms(
     bit-identical across engines and the oracle can hash it; logs are
     libm-dependent).
 
-    Scale shape: word explode is narrow; tf is one hash agg on
-    (host, word); dfh is one hash agg on word (count distinct host =
-    two-phase partial agg); the tf⋈dfh join shuffles on word — at
-    corpus scale the vocabulary side is Zipf-compact after the min_len
-    filter and AQE handles the hot-word skew; top-k is a bounded
-    per-host window.
+    Scale shape: ONE corpus-scale word explode (narrow) feeding ONE
+    corpus-scale hash agg on (host, word) → tf, which is persisted and
+    feeds BOTH consumers; dfh is derived from the tf frame itself — tf
+    has exactly one row per (host, word), so ``tf.groupBy(word).count()``
+    IS the distinct-host count, a vocabulary-sized agg instead of a
+    second explode+shuffle of the corpus. The persist is load-bearing:
+    without it Catalyst column-prunes the two tf consumers into
+    non-identical subplans (the dfh branch drops count(1)), ReuseExchange
+    no longer fires, and the corpus explodes twice — the r3 plan flaw.
+    The handle is surfaced on ``__spark_graft_caches__`` for
+    ``session.release_caches`` (the kring-kNN pattern). The tf⋈dfh join
+    shuffles on word — at corpus scale the vocabulary side is
+    Zipf-compact after the min_len filter and AQE handles the hot-word
+    skew; top-k is a bounded per-host window.
     """
     from pyspark.sql import Window
 
@@ -430,19 +438,21 @@ def host_top_terms(
         page_host(F.col(url_col)).alias("host"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).filter(F.length("word") >= min_len)
-    tf = words.groupBy("host", "word").agg(F.count("*").alias("tf"))
-    dfh = words.groupBy("word").agg(F.countDistinct("host").alias("dfh"))
+    tf = words.groupBy("host", "word").agg(F.count("*").alias("tf")).persist()
+    dfh = tf.groupBy("word").agg(F.count("*").alias("dfh"))
     scored = tf.join(dfh, "word").withColumn(
         "score", F.col("tf").cast("double") / F.col("dfh")
     )
     w = Window.partitionBy("host").orderBy(
         F.col("score").desc(), F.col("word").asc()
     )
-    return (
+    out = (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select("host", "word", "tf", "dfh", "score", "term_rank")
     )
+    out.__spark_graft_caches__ = [tf]
+    return out
 
 
 def admission_gate_stream(
