@@ -757,6 +757,14 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(_read(spark, sf_dir, "documents"))
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-level near-dup candidates: pairs sharing ≥2 winnowing
+    fingerprints through bounded buckets, with the shared count."""
+    from socialmapper_spark.operators.dedup import near_dup_pairs_winnow
+
+    return near_dup_pairs_winnow(_read(spark, sf_dir, "documents"), min_shared=2)
+
+
 def q_cosine_topk_many(spark, sf_dir):
     """Many-query cosine top-k: one scan + broadcast query matrix +
     partition-local heaps — must equal the per-query-branch plan."""
@@ -1288,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admission_gate_stream": q_admission_gate_stream,
         # round-4 changed plans / new variants (re-verify in-gate)
         "winnow_fingerprints": q_winnow,
+        "winnow_pairs": q_winnow_pairs,
         "dedup_spans": q_dedup_spans,
         "dedup_groups": q_dedup_groups,
         "dedup_groups_star": q_dedup_groups_star,
@@ -1332,10 +1341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_bbox": q_cluster_bbox,
         "centroid_nearest_poi": q_centroid_nearest_poi,
         "cosine_topk_many": q_cosine_topk_many,
-        "lsh_ann": q_lsh_ann,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "std_mean_bins": q_std_mean_bins,
         "percentile_bins": q_percentile_bins,
@@ -1672,6 +1681,29 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": f"""
             select doc_id, fingerprint
             from read_parquet('{tg}/golden_winnow.parquet')
+        """,
+        "winnow_pairs": f"""
+            -- same bucket-bounded pairing as the Spark plan: only
+            -- fingerprints shared by 2..1000 docs generate pairs, then
+            -- pairs need >= 2 shared fingerprints (min_shared=2)
+            with f as (
+                select doc_id, fingerprint
+                from read_parquet('{tg}/golden_winnow.parquet')
+            ),
+            ok as (
+                select fingerprint from f
+                group by fingerprint having count(*) between 2 and 1000
+            ),
+            p as (
+                select a.doc_id as doc_a, b.doc_id as doc_b,
+                       cast(count(*) as bigint) as n_shared
+                from f a
+                join f b using (fingerprint)
+                join ok using (fingerprint)
+                where a.doc_id < b.doc_id
+                group by 1, 2
+            )
+            select doc_a, doc_b, n_shared from p where n_shared >= 2
         """,
         "snapshot_dedup": f"""
             -- order-by mirrors Spark's max(struct(ts_us, md5(text), lang,

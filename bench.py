@@ -56,6 +56,15 @@ def main() -> None:
     pois = spark.read.parquet(f"{geo}/pois.parquet").filter(F.col("lat") <= 90.0)
     n_pages = pages.count()  # warms the scan / JVM
 
+    # text/crawl inputs for the curation-side entries
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    crawl_dir = str(ensure_crawl_fixture(sf_dir))
+    n_crawl = spark.read.parquet(f"{crawl_dir}/crawl_pages.parquet").count()
+
     # raster path import (vector→raster, pure Catalyst bit math)
     from socialmapper_spark.operators.raster import rasterize_counts
 
@@ -72,6 +81,13 @@ def main() -> None:
         ("rasterize", lambda: rasterize_counts(geoparse_pages(pages)).count()),
         # relational representative
         ("pricing_summary", lambda: entrymod.q_pricing_summary(spark, sf_dir).collect()),
+        # winnowing fingerprints (the r3 scale-killer, now len-linear —
+        # benched so the quadratic regression cannot return unseen)
+        ("winnow", lambda: winnow_fingerprints(docs).count()),
+        # the composed 5-stage crawl-curation pipeline (snapshot dedup →
+        # gate → blocklist → host cap → canonical key) — what a real
+        # training-data pipeline runs end to end
+        ("crawl_curation", lambda: entrymod.q_crawl_curation(spark, sf_dir).count()),
     ]
 
     # interleaved best-of-N: the sandbox host has 2-3x run-to-run noise, so
@@ -104,6 +120,8 @@ def main() -> None:
         "n_pages": n_pages,
         "pip_assignments_per_sec": round(n_assign / queries["pip_assignments"], 1),
         "geoparse_pages_per_sec": round(n_pages / queries["geoparse"], 1),
+        "winnow_docs_per_sec": round(n_docs / queries["winnow"], 1),
+        "curation_raw_pages_per_sec": round(n_crawl / queries["crawl_curation"], 1),
     }
     spark.stop()
     print(json.dumps(result))

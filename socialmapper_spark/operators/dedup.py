@@ -187,6 +187,47 @@ def winnow_fingerprints(
     )
 
 
+def near_dup_pairs_winnow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+    min_shared: int = 1,
+    observation=None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — candidate near-dup pairs sharing
+    ≥ ``min_shared`` winnowing fingerprints, with the shared-fingerprint
+    count as the similarity signal (the MOSS-style use of winnowing:
+    any shared substring of length ≥ k+w-1 guarantees ≥1 shared
+    fingerprint, so this surfaces *substring-level* overlap that
+    whole-document MinHash shingles dilute).
+
+    Completes the content-defined dedup family (exact md5, MinHash/
+    Jaccard, SimHash/Hamming, embedding-cosine, winnow/substring) with
+    the family's shared scale shape: fingerprint extraction is a narrow
+    scan-side projection (the len-linear materialized form); the
+    bucket-sized self-join shuffles only (doc_id, fingerprint) pairs;
+    hot buckets (boilerplate substrings) are bounded by ``max_bucket``
+    with the same Observation audit as the other paths; n_shared is one
+    map-side-combinable count agg keyed on the (doc_a, doc_b) pair.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col)  # already distinct per doc
+    sized = fps.groupBy("fingerprint").agg(
+        F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
+    )
+    if observation is not None:
+        sized = attach_bucket_audit(sized, observation, max_bucket)
+    sized = sized.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = (
+        sized.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_perm: int = NUM_PERM) -> DataFrame:
     """Adds ``sig`` array<long> of minhash values (Catalyst only)."""

@@ -89,6 +89,54 @@ def test_dedup_spans_reassembly_order(spark):
     assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
 
 
+# --- winnow near-dup pairs ------------------------------------------------------
+
+def test_winnow_pairs_guarantee_and_brute_force_parity(spark):
+    """Docs sharing a substring of length ≥ k+w-1 (= 11 chars) must share
+    ≥1 fingerprint (the winnowing guarantee) and therefore pair; the pair
+    set and shared counts must equal the brute-force computation from
+    the scalar twin."""
+    from socialmapper_spark.operators.dedup import near_dup_pairs_winnow, winnow_py
+
+    shared = "identical plagiarized passage carried verbatim"
+    docs = [
+        (0, f"intro alpha {shared} outro one"),
+        (1, f"different beginning {shared} different ending"),
+        (2, "entirely unrelated content with nothing in common at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in near_dup_pairs_winnow(df).collect()
+    }
+    fps = {i: set(winnow_py(t)) for i, t in docs}
+    exp = {}
+    for a in fps:
+        for b in fps:
+            if a < b and fps[a] & fps[b]:
+                exp[(a, b)] = len(fps[a] & fps[b])
+    assert got == exp
+    assert (0, 1) in got and got[(0, 1)] >= 1
+
+
+def test_winnow_pairs_bucket_audit(spark):
+    from socialmapper_spark.operators.dedup import near_dup_pairs_winnow
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated everywhere") for i in range(6)]
+        + [(10, "first unique overlapping passage here padding"),
+           (11, "first unique overlapping passage here trailer")],
+        "doc_id long, text string",
+    )
+    obs = Observation("winnow_audit")
+    pairs = near_dup_pairs_winnow(docs, max_bucket=5, observation=obs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(10, 11)}  # the 6-doc clique's buckets all overflow
+    audit = obs.get
+    assert audit["n_buckets_dropped"] >= 1
+    assert audit["n_rows_in_dropped"] >= 6
+
+
 # --- dedup_groups: large-star/small-star variant ------------------------------
 
 def test_star_equals_hashmin_on_path_graph(spark):
