@@ -1189,6 +1189,17 @@ def q_host_cap(spark, sf_dir):
     return per_host_cap(_crawl(spark, sf_dir).select("url").distinct(), k=100)
 
 
+def q_host_cap_bucketed(spark, sf_dir):
+    """Mega-host-safe exact selection variant of the per-host cap
+    (md5-prefix bucketing, only the candidate buckets ranked) — must be
+    output-identical to the window form, so it shares its oracle."""
+    from socialmapper_spark.operators.web import per_host_cap
+
+    return per_host_cap(
+        _crawl(spark, sf_dir).select("url").distinct(), k=100, strategy="bucketed"
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag docs sharing any exact 8-gram
     with the (deterministically chosen) benchmark subset."""
@@ -1316,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "repetition_stats": q_repetition_stats,
         "host_cap": q_host_cap,
+        "host_cap_bucketed": q_host_cap_bucketed,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "language_id": q_language_id,
@@ -1340,10 +1352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
         "centroid_nearest_poi": q_centroid_nearest_poi,
-        "cosine_topk_many": q_cosine_topk_many,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "std_mean_bins": q_std_mean_bins,
@@ -1832,6 +1844,22 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {_pii_sql()} from m
         """,
         "host_cap": f"""
+            with u as (
+                select distinct url from read_parquet('{g}/crawl_pages.parquet')
+            ),
+            r as (
+                select url,
+                       regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host,
+                       row_number() over (
+                         partition by regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+                         order by md5(url), url) as host_rank
+                from u
+            )
+            select url, host, host_rank from r where host_rank <= 100
+        """,
+        "host_cap_bucketed": f"""
+            -- identical to host_cap: the bucketed strategy is an exact
+            -- distributed-selection rewrite with the same output contract
             with u as (
                 select distinct url from read_parquet('{g}/crawl_pages.parquet')
             ),

@@ -312,27 +312,67 @@ def blocklist_filter(
     )
 
 
-def per_host_cap(pages: DataFrame, k: int = 100, url_col: str = "url") -> DataFrame:
+def per_host_cap(
+    pages: DataFrame,
+    k: int = 100,
+    url_col: str = "url",
+    strategy: str = "window",
+    bucket_hex: int = 2,
+) -> DataFrame:
     """(url, host, host_rank) with host_rank ≤ ``k`` — C4-style per-domain
     contribution cap: at most k pages survive per host, chosen by a
     deterministic content-blind order (md5(url), url) so the kept subset
     is stable across runs and partitionings, never "first k seen".
-
     Expects one row per url (run :func:`snapshot_dedup` first on
-    multi-snapshot tables). One shuffle keyed on host; the per-host sort
-    is bounded by the host's url count. For pathological mega-hosts a
-    rank-free two-pass filter (count-min + threshold on md5 prefix)
-    would avoid the sort entirely; at the k values pipelines use the
-    window form is the simpler, equally-shuffled choice.
+    multi-snapshot tables).
+
+    ``strategy='window'`` (default): one shuffle keyed on host, per-host
+    row_number sort. Right for ordinary host-size distributions — the
+    sort is bounded by the host's url count.
+
+    ``strategy='bucketed'``: exact distributed selection for pathological
+    mega-hosts, output-identical to the window form. Rows are bucketed by
+    the first ``bucket_hex`` hex chars of md5(url) (256 buckets at the
+    default); because a hex-prefix order is consistent with the full
+    (md5, url) order, per-(host, bucket) counts + a cumulative sum over
+    the ≤256-row bucket ledger locate every bucket that can contain a
+    top-k row (``prior < k``); only those candidate rows — ≈ k plus one
+    bucket's worth, NOT the host's full url set — are ranked. The
+    corpus-scale shuffle keys on (host, bucket), so a 100M-url host
+    spreads across 256 partitions instead of collapsing into one sort
+    task: the hot-host skew never meets a single-partition boundary.
+    Equality with the window form is pinned by pytest and by sharing the
+    ``host_cap`` oracle (`host_cap_bucketed`).
     """
     hosts = pages.select(
         F.col(url_col).alias("url"), page_host(F.col(url_col)).alias("host")
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("host").orderBy(F.md5(F.col("url")), F.col("url"))
+    if strategy == "window":
+        w = Window.partitionBy("host").orderBy(F.md5(F.col("url")), F.col("url"))
+        return (
+            hosts.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= k)
+            .select("url", "host", "host_rank")
+        )
+    if strategy != "bucketed":
+        raise ValueError(f"strategy must be 'window' or 'bucketed', got {strategy!r}")
+
+    rows = hosts.withColumn("__h", F.md5(F.col("url"))).withColumn(
+        "__b", F.substring(F.col("__h"), 1, bucket_hex)
+    )
+    ledger = rows.groupBy("host", "__b").agg(F.count("*").alias("__bn"))
+    wb = Window.partitionBy("host").orderBy("__b")
+    # rows in strictly-earlier buckets sort strictly earlier (hex-prefix
+    # order ⊂ full md5 order), so a row can be top-k only if prior < k
+    ledger = ledger.withColumn(
+        "__prior", F.coalesce(F.sum("__bn").over(wb) - F.col("__bn"), F.lit(0))
+    ).filter(F.col("__prior") < k)
+    cand = rows.join(ledger.select("host", "__b", "__prior"), ["host", "__b"])
+    wc = Window.partitionBy("host").orderBy(F.col("__h"), F.col("url"))
     return (
-        hosts.withColumn("host_rank", F.row_number().over(w))
+        cand.withColumn("host_rank", F.row_number().over(wc))
         .filter(F.col("host_rank") <= k)
         .select("url", "host", "host_rank")
     )
