@@ -1264,6 +1264,97 @@ def q_crawl_curation(spark, sf_dir):
     )
 
 
+# curation thresholds pinned against the sf0.01 documents fixture so the
+# funnel is non-trivial at every stage (lang 500→382, quality median
+# 0.743 → ~half cut at 0.7, dup_3gram max 0.071 → some cut at 0.05,
+# %97-benchmark contamination hits, 0.75 sampling on the remainder)
+_CURATION_MIN_QUALITY = 0.7
+_CURATION_MAX_DUP3 = 0.05
+_CURATION_RATES = {"en": 0.75}
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end DOCUMENT curation — the text-side twin of
+    q_crawl_curation, as ONE plan: language gate → quality-score gate →
+    repetition gate → benchmark decontamination → deterministic
+    language-stratified sampling → PII scrub of the survivors. Emits
+    every doc with its first-failing-stage reason (admission_gate's
+    audit convention), so the whole funnel is hash-checkable. Every
+    stage is a registry operator; the oracle composes their SQL twins
+    stage-for-stage. Scale shape: the gates, language id, sampling
+    decision, and scrub are scan-side Catalyst projections, so a doc
+    failing any text gate never reaches a shuffle; only gate-survivors
+    pay the decontamination stage (benchmark grams broadcast; one
+    doc_id-keyed count agg + join over the surviving minority, whose
+    scrubbed text is computed before the join) — zero Python nodes."""
+    from socialmapper_spark.functions.text import (
+        language_id,
+        pii_cols,
+        quality_score_cols,
+        repetition_cols,
+        stratified_keep,
+    )
+    from socialmapper_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # scan-side pass: every text-derived gate resolves in the projection,
+    # so a doc failing lang/quality/repetition never reaches a shuffle —
+    # only gate-survivors pay the decontamination join, and their scrub
+    # is computed BEFORE that join so raw text never crosses an exchange
+    sampled = stratified_keep(
+        F.col("lang_pred"), F.col("doc_id").cast("string"), _CURATION_RATES
+    )
+    pre_reason = (
+        F.when(F.col("lang_pred") != "en", F.lit("non_allowed_lang"))
+        .when(F.col("quality_score") < _CURATION_MIN_QUALITY, F.lit("low_quality"))
+        .when(F.col("dup3") > _CURATION_MAX_DUP3, F.lit("repetitive"))
+        .otherwise(F.lit("__pass"))
+    )
+    gated = docs.select(
+        "doc_id",
+        "text",
+        language_id(F.col("text")).alias("lang_pred"),
+        quality_score_cols(F.col("text"))["quality_score"].alias("quality_score"),
+        repetition_cols(F.col("text"))["dup_3gram_ratio"].alias("dup3"),
+    ).select("doc_id", "text", "lang_pred", "quality_score",
+             pre_reason.alias("__pre"), sampled.alias("__sampled"))
+    failed = gated.filter(F.col("__pre") != "__pass").select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        F.col("__pre").alias("reason"),
+        F.lit(False).alias("keep"),
+        F.lit(None).cast("string").alias("text_final"),
+    )
+    passed = gated.filter(F.col("__pre") == "__pass")
+    cont = decontaminate(passed, bench).select("doc_id", "contaminated")
+    scrub = pii_cols(F.col("text"))["text_scrubbed"]
+    post_reason = (
+        F.when(F.col("contaminated"), F.lit("contaminated"))
+        .when(~F.col("__sampled"), F.lit("sampled_out"))
+        .otherwise(F.lit("ok"))
+    )
+    kept = (
+        passed.select(
+            "doc_id", "lang_pred", "quality_score", "__sampled",
+            scrub.alias("__scrubbed"),
+        )
+        .join(cont, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality_score",
+            post_reason.alias("reason"),
+            (post_reason == F.lit("ok")).alias("keep"),
+            F.when(post_reason == F.lit("ok"), F.col("__scrubbed")).alias(
+                "text_final"
+            ),
+        )
+    )
+    return failed.unionByName(kept)
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1303,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse": q_geoparse,
         # never-driver-checked entries (r3 VERDICT task #3)
         "crawl_curation": q_crawl_curation,
+        "corpus_curation": q_corpus_curation,
         "host_top_terms": q_host_top_terms,
         "admission_gate_stream": q_admission_gate_stream,
         # round-4 changed plans / new variants (re-verify in-gate)
@@ -1351,10 +1443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
-        "centroid_nearest_poi": q_centroid_nearest_poi,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "centroid_nearest_poi": q_centroid_nearest_poi,
         "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1822,6 +1914,57 @@ def oracle_sql() -> dict[str, str]:
             select url, host, host_rank, {{canon}} as canonical
             from r where host_rank <= 50
         """.format(gate=_admission_gate_sql("d"), canon=_canonical_url_sql("url")),
+        "corpus_curation": f"""
+            -- stage-for-stage composition of the registry twins:
+            -- language_id + quality + repetition + decontaminate +
+            -- stratified sampling + pii scrub (same constants as the
+            -- Spark plan in q_corpus_curation)
+            with bg as (
+                select distinct unnest({_grams8_sql()}) as g
+                from documents where doc_id % 97 = 0
+            ),
+            dg as (
+                select doc_id, unnest(list_distinct({_grams8_sql()})) as g
+                from documents
+            ),
+            h as (
+                select doc_id, count(*) as n
+                from dg join bg using (g) group by doc_id
+            ),
+            cont as (
+                select d.doc_id, coalesce(h.n, 0) > 0 as contaminated
+                from documents d left join h using (doc_id)
+            ),
+            rep as (select doc_id, {_repetition_sql()} from documents),
+            base as (
+                select d.doc_id,
+                       d.text,
+                       {_language_id_sql_twin()} as lang_pred,
+                       {_quality_sql()} as quality_score,
+                       rep.dup_3gram_ratio as dup3,
+                       cont.contaminated
+                from documents d
+                join rep using (doc_id)
+                join cont using (doc_id)
+            ),
+            dec as (
+                select *,
+                       case when lang_pred <> 'en' then 'non_allowed_lang'
+                            when quality_score < {_CURATION_MIN_QUALITY}
+                              then 'low_quality'
+                            when dup3 > {_CURATION_MAX_DUP3} then 'repetitive'
+                            when contaminated then 'contaminated'
+                            when not ({_curation_sample_sql()})
+                              then 'sampled_out'
+                            else 'ok' end as reason
+                from base
+            )
+            select doc_id, lang_pred, quality_score, reason,
+                   reason = 'ok' as keep,
+                   case when reason = 'ok' then {_pii_scrub_sql()} end
+                     as text_final
+            from dec
+        """,
         "stratified_sample": f"""
             select url, lang, {_stratified_sql()} as keep
             from read_parquet('{g}/crawl_pages.parquet')
@@ -2425,3 +2568,53 @@ def _language_id_sql_twin() -> str:
     from socialmapper_spark.functions.text import language_id_sql
 
     return language_id_sql("text")
+
+
+def _quality_sql(expr: str = "text") -> str:
+    """DuckDB twin of functions.text.quality_score_cols['quality_score']
+    (same expression shape the proven doc_stats oracle uses inline, so
+    the double arithmetic is bit-identical across engines)."""
+    ntok = (
+        f"(case when trim({expr}) = '' then 0 "
+        f"else len(regexp_split_to_array(trim({expr}), '\\s+')) end)"
+    )
+    alpha = (
+        f"(case when length({expr}) > 0 "
+        f"then cast(length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) as double)"
+        f" / length({expr}) else 0.0 end)"
+    )
+    punct = (
+        f"(case when length({expr}) > 0 "
+        f"then cast(length(regexp_replace({expr}, '[^.,;:!?]', '', 'g')) as double)"
+        f" / length({expr}) else 0.0 end)"
+    )
+    return (
+        f"least(1.0, greatest(0.0, {alpha} * 0.7 "
+        f"+ least({ntok} / 100.0, 1.0) * 0.3 - {punct} * 0.5))"
+    )
+
+
+def _pii_scrub_sql(expr: str = "text") -> str:
+    """DuckDB twin of the pii_cols scrub chain only (email → ip → phone),
+    built from the same regex constants."""
+    from socialmapper_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4_RE}', '<IP>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+
+
+def _curation_sample_sql() -> str:
+    """DuckDB twin of the corpus_curation sampling decision."""
+    from socialmapper_spark.functions.text import stratified_keep_sql
+
+    return stratified_keep_sql(
+        "lang_pred", "cast(doc_id as varchar)", _CURATION_RATES
+    )

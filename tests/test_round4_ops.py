@@ -381,6 +381,33 @@ def test_host_cap_rejects_unknown_strategy(spark):
         per_host_cap(pages, strategy="bogus")
 
 
+# --- corpus curation composition ----------------------------------------------------
+
+def test_corpus_curation_funnel_and_plan(spark):
+    """The document-side curation composition: one row per doc with a
+    first-failing-stage reason; the funnel is non-trivial (some docs cut
+    at language and at least one later stage, some kept); kept docs
+    carry scrubbed text; the plan has zero per-row Python nodes."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_corpus_curation(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    docs_n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert len(rows) == docs_n  # audit convention: every doc gets a verdict
+    reasons = {r["reason"] for r in rows}
+    valid = {"non_allowed_lang", "low_quality", "repetitive",
+             "contaminated", "sampled_out", "ok"}
+    assert reasons <= valid
+    kept = [r for r in rows if r["keep"]]
+    assert 0 < len(kept) < docs_n
+    assert "non_allowed_lang" in reasons and len(reasons) >= 3
+    for r in rows:
+        assert (r["reason"] == "ok") == r["keep"]
+        assert (r["text_final"] is not None) == r["keep"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 # --- BPE proxy divergence pins ----------------------------------------------------
 
 def test_bpe_proxy_divergence(spark):
