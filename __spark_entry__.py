@@ -1355,6 +1355,18 @@ def q_corpus_curation(spark, sf_dir):
     return failed.unionByName(kept)
 
 
+def q_crawl_enrich_stream(spark, sf_dir):
+    """Stream-static dimension join: streaming crawl pages enriched with
+    the batch-computed per-host rollup (broadcast static side, stateless
+    append) — must be row-equal to the equivalent batch join."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import crawl_enrich_stream, host_stats
+
+    crawl_dir = str(ensure_crawl_fixture(sf_dir))
+    dim = host_stats(spark.read.parquet(f"{crawl_dir}/crawl_pages.parquet"))
+    return crawl_enrich_stream(spark, crawl_dir, dim)
+
+
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
     (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
@@ -1413,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "host_daily": q_host_daily,
         "host_daily_stream": q_host_daily_stream,
+        "crawl_enrich_stream": q_crawl_enrich_stream,
         "html_extract": q_html_extract,
         "url_canonical": q_url_canonical,
         "admission_gate": q_admission_gate,
@@ -1442,10 +1455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_quarantine": q_geometry_quarantine,
         "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
-        "cluster_bbox": q_cluster_bbox,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "cluster_bbox": q_cluster_bbox,
         "centroid_nearest_poi": q_centroid_nearest_poi,
         "cosine_topk_many": q_cosine_topk_many,
         "lsh_ann": q_lsh_ann,
@@ -1837,6 +1850,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_daily": _HOST_DAILY_SQL.format(g=g),
         "host_daily_stream": _HOST_DAILY_SQL.format(g=g),
+        "crawl_enrich_stream": f"""
+            -- batch twin of the stream-static dimension join
+            with hs as (
+                select regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+                         as host,
+                       count(*) as n_pages,
+                       count(distinct url) as n_urls,
+                       max(epoch_us(warc_ts)) as latest_ts_us,
+                       round(avg(case when lang = 'en' then 1.0 else 0.0 end), 6)
+                         as en_share
+                from read_parquet('{g}/crawl_pages.parquet')
+                group by 1
+            )
+            select p.host, p.url, p.warc_ts_us,
+                   hs.n_pages, hs.n_urls, hs.latest_ts_us, hs.en_share
+            from (
+                select url, epoch_us(warc_ts) as warc_ts_us,
+                       regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1)
+                         as host
+                from read_parquet('{g}/crawl_pages.parquet')
+            ) p join hs using (host)
+        """,
         "html_extract": f"""
             select url,
                    regexp_replace(decode(html), '<[^>]+>', '', 'g') as extracted,

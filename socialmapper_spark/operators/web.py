@@ -524,6 +524,51 @@ def admission_gate_stream(
     return spark.table(sink)
 
 
+def crawl_enrich_stream(
+    spark: SparkSession,
+    crawl_dir: str,
+    host_dim: DataFrame,
+    file_glob: str = "crawl_pages.parquet",
+) -> DataFrame:
+    """Stream-static dimension join — the production pattern of enriching
+    a live stream with a precomputed reference table: streaming crawl
+    pages inner-join the static per-host rollup (:func:`host_stats`
+    output or any host-keyed dim) on host.
+
+    Completes the engine's streaming operator family (windowed agg,
+    sessionization, watermarked dedup, stateless projection gate, and
+    now stream-static join). Stateless by construction: Spark plans a
+    stream-static inner equi-join with the static side broadcast per
+    micro-batch — no state store, no watermark needed, append mode emits
+    each page exactly once. Must be row-equal to the equivalent batch
+    join (same SQL oracle).
+    """
+    schema = spark.read.option("pathGlobFilter", file_glob).parquet(crawl_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_glob)
+        .parquet(crawl_dir)
+    )
+    enriched = (
+        stream.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            page_host(F.col("url")).alias("host"),
+        )
+        .join(F.broadcast(host_dim), "host")
+    )
+    sink = f"crawl_enrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def snapshot_dedup_stream(
     spark: SparkSession,
     crawl_dir: str,

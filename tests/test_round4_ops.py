@@ -408,6 +408,34 @@ def test_corpus_curation_funnel_and_plan(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+# --- stream-static dimension join ---------------------------------------------------
+
+def test_crawl_enrich_stream_equals_batch_join(spark):
+    """The stream-static join must be stateless (no watermark, append
+    mode) and row-equal to the same join run as a batch plan."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.web import (
+        crawl_enrich_stream,
+        host_stats,
+        page_host,
+    )
+
+    crawl_dir = str(ensure_crawl_fixture("sf0.001"))
+    pages = spark.read.parquet(f"{crawl_dir}/crawl_pages.parquet")
+    dim = host_stats(pages)
+    got = crawl_enrich_stream(spark, crawl_dir, dim)
+    batch = (
+        pages.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            page_host(F.col("url")).alias("host"),
+        ).join(dim, "host")
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) == pages.count()  # inner join loses no page
+
+
 # --- BPE proxy divergence pins ----------------------------------------------------
 
 def test_bpe_proxy_divergence(spark):
