@@ -394,6 +394,17 @@ def q_vectorize_hotspots(spark, sf_dir):
     return vectorize_threshold(rasterize_counts(geop), threshold=50)
 
 
+def q_focal_stats(spark, sf_dir):
+    """Raster focal smoothing: 3×3 zero-padded focal sum/mean over the
+    rasterized page counts (lon-wrapping, lat-clamped grid topology) —
+    the GIS moving-window step between rasterize and vectorize."""
+    from socialmapper_spark.operators.raster import focal_stats, rasterize_counts
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    return focal_stats(rasterize_counts(geop))
+
+
 def q_lineage_stats(spark, sf_dir):
     """O14: per-bucket lineage rows (bucket, row_count, checksum) for the
     assignment stage, in the cross-engine md5-60 mode: bucket id AND the
@@ -1442,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_stats": q_lineage_stats,
         "rasterize": q_rasterize,
         "vectorize_hotspots": q_vectorize_hotspots,
+        "focal_stats": q_focal_stats,
         "frame_sample": q_frame_sample,
         "geoid_build": q_geoid_build,
         # r2/r3-green entries filling the remaining gate slots
@@ -1454,10 +1466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_clamp": q_speed_clamp,
         "geometry_quarantine": q_geometry_quarantine,
         "neighbor_states": q_neighbor_states,
-        "poi_bbox": q_poi_bbox,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
         "centroid_nearest_poi": q_centroid_nearest_poi,
         "cosine_topk_many": q_cosine_topk_many,
@@ -2272,6 +2284,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(ix % 32 as int) as px_col,
                    value
             from px
+        """,
+        "focal_stats": f"""
+            -- 3x3 zero-padded focal sum/mean over the r9 pixel grid:
+            -- lon wraps (double-mod keeps jx nonnegative), lat clamps
+            -- (off-grid rows drop); sums cast to bigint (DuckDB sum()
+            -- is HUGEINT) so the value hash matches Spark's long
+            with px as (
+                select cast(floor((lon+180.0)/0.0054931640625) as bigint) % 65536 as ix,
+                       least(greatest(cast(floor((lat+90.0)/0.0054931640625) as bigint),0),32767) as iy,
+                       count(*) as value
+                from read_parquet('{g}/golden_geoparsed.parquet')
+                where lat is not null
+                group by 1, 2
+            ),
+            o as (
+                select dx, dy
+                from (values (-1), (0), (1)) a(dx), (values (-1), (0), (1)) b(dy)
+            ),
+            c as (
+                select ((ix + dx) % 65536 + 65536) % 65536 as jx,
+                       iy + dy as jy, value
+                from px, o
+                where iy + dy >= 0 and iy + dy < 32768
+            )
+            select cast(9 as bigint)*288230376151711744
+                     + jx*536870912 + jy as cell,
+                   cast(sum(value) as bigint) as focal_sum,
+                   cast(count(*) as bigint) as focal_n,
+                   cast(sum(value) as bigint) / 9.0 as focal_mean
+            from c group by jx, jy
         """,
         "vectorize_hotspots": f"""
             with px as (

@@ -436,6 +436,57 @@ def test_crawl_enrich_stream_equals_batch_join(spark):
     assert a == b and len(a) == pages.count()  # inner join loses no page
 
 
+# --- raster focal stats ---------------------------------------------------------
+
+def test_focal_stats_matches_python_twin_with_wrap_and_clamp(spark):
+    """3×3 focal sum over the pixel grid == an independent dict-based
+    twin, including the antimeridian wrap (lon ±180) and the pole clamp
+    (iy = 0 has no southern neighbors — off-grid rows drop, zero-padded
+    mean still divides by 9)."""
+    from collections import defaultdict
+
+    from socialmapper_spark.geo.cells import cell_np, decode_cell
+    from socialmapper_spark.operators.raster import focal_stats, rasterize_counts
+
+    res, nx, ny = 9, 1 << 16, 1 << 15
+    pts = [
+        (0.001, 179.999), (0.001, -179.999),   # straddle the antimeridian
+        (-89.999, 10.0), (-89.999, 10.0),      # clamped bottom row, count 2
+        (35.65, -78.78), (35.65, -78.78), (35.6501, -78.78),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = {
+        r["cell"]: (r["focal_sum"], r["focal_n"], r["focal_mean"])
+        for r in focal_stats(rasterize_counts(df, res=res)).collect()
+    }
+
+    counts: dict[tuple[int, int], int] = defaultdict(int)
+    for lat, lon in pts:
+        _, ix, iy = decode_cell(int(cell_np([lat], [lon], res)[0]))
+        counts[(ix, iy)] += 1
+    exp = {}
+    targets = {
+        ((ix + dx) % nx, iy + dy)
+        for (ix, iy) in counts
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if 0 <= iy + dy < ny
+    }
+    for jx, jy in targets:
+        vals = [
+            counts[((jx - dx) % nx, jy - dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if ((jx - dx) % nx, jy - dy) in counts
+        ]
+        cell = res * (2**58) + jx * (2**29) + jy
+        exp[cell] = (sum(vals), len(vals), sum(vals) / 9.0)
+    assert got == exp
+    # the two antimeridian pixels smooth into each other across the wrap
+    wrap_cells = [c for c, (_s, n, _m) in got.items() if n >= 2]
+    assert wrap_cells
+
+
 # --- BPE proxy divergence pins ----------------------------------------------------
 
 def test_bpe_proxy_divergence(spark):
