@@ -174,6 +174,31 @@ def test_star_equals_hashmin_on_mixed_graph(spark):
     assert (99, 99, True) in b  # singleton from docs
 
 
+def test_star_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs (mixed density, self-contained components,
+    duplicate and reversed edges) — the star variant must equal the
+    union-find twin on every one."""
+    import random
+
+    from socialmapper_spark.operators.dedup import dedup_groups, dedup_groups_py
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 50))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = sorted(
+            (r["doc_id"], r["group_id"], r["is_canonical"])
+            for r in dedup_groups(pairs, method="star").collect()
+        )
+        assert got == dedup_groups_py(edges), f"seed {seed}"
+
+
 def test_dedup_groups_rejects_unknown_method(spark):
     from socialmapper_spark.operators.dedup import dedup_groups
 
