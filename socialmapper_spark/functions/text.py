@@ -78,7 +78,7 @@ def bpe_token_count(text: Column) -> Column:
     cl100k_base. Directionally: proxy_count ≤ real_BPE_count on natural
     text. Sizing corpora by this proxy is fine for RELATIVE comparisons
     (the bias is text-uniform); absolute token budgets need the real
-    tokenizer. ``tests/test_training_ops.py::test_bpe_proxy_divergence``
+    tokenizer. ``tests/test_round4_ops.py::test_bpe_proxy_divergence``
     pins known proxy-vs-real counts so the documented bias can't drift.
     """
     return F.regexp_count(text, F.lit(TOKEN_RE))

@@ -173,9 +173,10 @@ def winnow_fingerprints(
     subtrees per array element — O(len²) md5+regexp per row, a measured
     ~1000× slowdown at 300-char docs. CollapseProject does not re-inline
     these aliases today (each intermediate is non-cheap and consumed
-    inside a higher-order function); ``tests/test_training_ops.py``
-    pins the linear-time behavior so a future optimizer change that
-    re-inlines them cannot land silently.
+    inside a higher-order function); ``tests/test_round4_ops.py::
+    test_winnow_materialized_is_linear_time`` pins the linear-time
+    behavior so a future optimizer change that re-inlines them cannot
+    land silently.
     """
     return (
         docs.withColumn("__norm", normalize_text(F.col(text_col)))
@@ -282,13 +283,14 @@ def attach_bucket_audit(sized: DataFrame, observation, max_bucket: int) -> DataF
     action). The capped operators accept ``observation=`` and thread it
     here.
 
-    AQE caveat (Spark behavior, pinned in tests/test_round4_ops.py): if
-    the query's FINAL result is completely empty, AQE's
-    empty-relation propagation can replace the plan subtree containing
-    the CollectMetrics node, and ``observation.get`` fails instead of
-    returning the audit. Any run with ≥1 output row reports fine (the
-    overwhelmingly common case — an empty dedup result means no
-    candidate pairs at all); for audit-critical jobs that may legally
+    AQE caveat (behavior observed on Spark 4.1; the audit tests in
+    tests/test_round4_ops.py deliberately keep their results non-empty
+    because of it): if the query's FINAL result is completely empty,
+    AQE's empty-relation propagation can replace the plan subtree
+    containing the CollectMetrics node, and ``observation.get`` fails
+    instead of returning the audit. Any run with ≥1 output row reports
+    fine (the overwhelmingly common case — an empty dedup result means
+    no candidate pairs at all); for audit-critical jobs that may legally
     produce zero pairs, exclude the rule:
     ``spark.sql.adaptive.optimizer.excludedRules=
     org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation``.
@@ -537,13 +539,22 @@ def _star_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
         if cur == prev:
             break
         prev = cur
-    # fixed point: edges are stars (u → root); roots label themselves
-    return (
-        edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
-        .unionByName(
-            edges.select(F.col("v").alias("node"), F.col("v").alias("label"))
-        )
+    # fixed point: edges are stars (u → root); roots label themselves.
+    # Nodes whose only pair rows were self-pairs (doc_a == doc_b) carry
+    # no star edge — union them back as their own label so the method
+    # matches hash-min (whose symmetrized edge set keeps them) row for
+    # row on any input.
+    labeled = edges.select(F.col("u").alias("node"), F.col("v").alias("label")).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    ).distinct()
+    all_nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
         .distinct()
+    )
+    isolated = all_nodes.join(labeled.select("node"), "node", "left_anti")
+    return labeled.unionByName(
+        isolated.select("node", F.col("node").alias("label"))
     )
 
 
@@ -857,9 +868,10 @@ def near_dup_pairs_simhash(
     :func:`attach_bucket_audit`). NOTE for oracle parity: the registered
     ``simhash_pairs`` oracle is an unconditional brute-force all-pairs
     join, correct only while no fixture bucket exceeds ``max_bucket`` —
-    ``tests/test_training_ops.py`` asserts that invariant at gate scale
-    so a fixture change that overflows a bucket fails loudly instead of
-    silently diverging from the oracle.
+    ``tests/test_round4_ops.py::
+    test_simhash_bucket_audit_and_gate_scale_invariant`` asserts that
+    invariant at gate scale so a fixture change that overflows a bucket
+    fails loudly instead of silently diverging from the oracle.
 
     Scale shape: one Arrow-batched UDF pass computes signatures
     (md5-per-unique-word batch kernel); everything after is Catalyst —

@@ -199,6 +199,20 @@ def test_star_matches_union_find_on_random_graphs(spark):
         assert got == dedup_groups_py(edges), f"seed {seed}"
 
 
+def test_star_keeps_self_pair_only_nodes(spark):
+    """A node whose only pair rows are self-pairs (doc_a == doc_b) must
+    come out as its own singleton group from BOTH methods — the star
+    variant unions such nodes back after the u != v edge filter."""
+    from socialmapper_spark.operators.dedup import dedup_groups, dedup_groups_py
+
+    edges = [(5, 5), (1, 2), (7, 7), (2, 2)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = sorted(map(tuple, dedup_groups(pairs, method="hashmin").collect()))
+    b = sorted(map(tuple, dedup_groups(pairs, method="star").collect()))
+    assert a == b == dedup_groups_py(edges)
+    assert (5, 5, True) in b and (7, 7, True) in b
+
+
 def test_dedup_groups_rejects_unknown_method(spark):
     from socialmapper_spark.operators.dedup import dedup_groups
 

@@ -128,7 +128,11 @@ def test_stratified_keep_rates_and_determinism(spark):
 
 def test_pii_scrub_patterns(spark):
     """Emails/IPv4s/phone runs are replaced by typed placeholders with
-    counts from the original text; clean text passes through unchanged."""
+    PROGRESSIVE counts (emails on the original text, IPs after the email
+    scrub, phones after the IP scrub — each count equals the
+    placeholders its stage wrote; see
+    tests/test_round4_ops.py::test_pii_counts_are_progressive for the
+    overlap cases); clean text passes through unchanged."""
     from socialmapper_spark.functions.text import pii_cols
 
     rows = [
