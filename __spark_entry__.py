@@ -1292,12 +1292,20 @@ def q_corpus_curation(spark, sf_dir):
     every doc with its first-failing-stage reason (admission_gate's
     audit convention), so the whole funnel is hash-checkable. Every
     stage is a registry operator; the oracle composes their SQL twins
-    stage-for-stage. Scale shape: the gates, language id, sampling
-    decision, and scrub are scan-side Catalyst projections, so a doc
-    failing any text gate never reaches a shuffle; only gate-survivors
-    pay the decontamination stage (benchmark grams broadcast; one
-    doc_id-keyed count agg + join over the surviving minority, whose
-    scrubbed text is computed before the join) — zero Python nodes."""
+    stage-for-stage. Scale shape: ALL text-derived columns (gates,
+    language id, sampling decision, scrub) compute in ONE scan-side
+    projection that drops raw text before the single doc_id-keyed join
+    with the decontamination flags (benchmark grams broadcast; per-doc
+    count agg) — so text-gate expressions evaluate once per row and only
+    the output's scrubbed text crosses the exchange. Deliberately NOT
+    split into filter-then-join: a filter on a computed column gets the
+    alias SUBSTITUTED into the predicate by Catalyst's pushdown
+    (PushDownPredicates rewrites through Project), re-inlining the whole
+    language/quality/repetition tree into the filter — measured 40×
+    slower (8.7 s vs 0.2 s at sf0.1) with codegen falling over the
+    method-size cliff; the join-everything shape keeps each expensive
+    alias referenced ≥2 times, which CollapseProject refuses to inline.
+    Zero Python nodes."""
     from socialmapper_spark.functions.text import (
         language_id,
         pii_cols,
@@ -1309,61 +1317,35 @@ def q_corpus_curation(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    # scan-side pass: every text-derived gate resolves in the projection,
-    # so a doc failing lang/quality/repetition never reaches a shuffle —
-    # only gate-survivors pay the decontamination join, and their scrub
-    # is computed BEFORE that join so raw text never crosses an exchange
-    sampled = stratified_keep(
-        F.col("lang_pred"), F.col("doc_id").cast("string"), _CURATION_RATES
+    cont = decontaminate(docs, bench).select("doc_id", "contaminated")
+    base = docs.select(
+        "doc_id", "text", language_id(F.col("text")).alias("lang_pred")
+    ).select(
+        "doc_id",
+        "lang_pred",
+        quality_score_cols(F.col("text"))["quality_score"].alias("quality_score"),
+        repetition_cols(F.col("text"))["dup_3gram_ratio"].alias("dup3"),
+        stratified_keep(
+            F.col("lang_pred"), F.col("doc_id").cast("string"), _CURATION_RATES
+        ).alias("__sampled"),
+        pii_cols(F.col("text"))["text_scrubbed"].alias("__scrubbed"),
     )
-    pre_reason = (
+    reason = (
         F.when(F.col("lang_pred") != "en", F.lit("non_allowed_lang"))
         .when(F.col("quality_score") < _CURATION_MIN_QUALITY, F.lit("low_quality"))
         .when(F.col("dup3") > _CURATION_MAX_DUP3, F.lit("repetitive"))
-        .otherwise(F.lit("__pass"))
-    )
-    gated = docs.select(
-        "doc_id",
-        "text",
-        language_id(F.col("text")).alias("lang_pred"),
-        quality_score_cols(F.col("text"))["quality_score"].alias("quality_score"),
-        repetition_cols(F.col("text"))["dup_3gram_ratio"].alias("dup3"),
-    ).select("doc_id", "text", "lang_pred", "quality_score",
-             pre_reason.alias("__pre"), sampled.alias("__sampled"))
-    failed = gated.filter(F.col("__pre") != "__pass").select(
-        "doc_id",
-        "lang_pred",
-        "quality_score",
-        F.col("__pre").alias("reason"),
-        F.lit(False).alias("keep"),
-        F.lit(None).cast("string").alias("text_final"),
-    )
-    passed = gated.filter(F.col("__pre") == "__pass")
-    cont = decontaminate(passed, bench).select("doc_id", "contaminated")
-    scrub = pii_cols(F.col("text"))["text_scrubbed"]
-    post_reason = (
-        F.when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
         .when(~F.col("__sampled"), F.lit("sampled_out"))
         .otherwise(F.lit("ok"))
     )
-    kept = (
-        passed.select(
-            "doc_id", "lang_pred", "quality_score", "__sampled",
-            scrub.alias("__scrubbed"),
-        )
-        .join(cont, "doc_id")
-        .select(
-            "doc_id",
-            "lang_pred",
-            "quality_score",
-            post_reason.alias("reason"),
-            (post_reason == F.lit("ok")).alias("keep"),
-            F.when(post_reason == F.lit("ok"), F.col("__scrubbed")).alias(
-                "text_final"
-            ),
-        )
+    return base.join(cont, "doc_id").select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        reason.alias("reason"),
+        (reason == F.lit("ok")).alias("keep"),
+        F.when(reason == F.lit("ok"), F.col("__scrubbed")).alias("text_final"),
     )
-    return failed.unionByName(kept)
 
 
 def q_crawl_enrich_stream(spark, sf_dir):

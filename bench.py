@@ -88,6 +88,11 @@ def main() -> None:
         # gate → blocklist → host cap → canonical key) — what a real
         # training-data pipeline runs end to end
         ("crawl_curation", lambda: entrymod.q_crawl_curation(spark, sf_dir).count()),
+        # document-side curation funnel (language → quality → repetition →
+        # decontaminate → sample → scrub) — scan-side gates, one join
+        ("corpus_curation", lambda: entrymod.q_corpus_curation(spark, sf_dir).count()),
+        # raster smoothing (3×3 focal over the r9 pixel grid)
+        ("focal_stats", lambda: entrymod.q_focal_stats(spark, sf_dir).count()),
     ]
 
     # interleaved best-of-N: the sandbox host has 2-3x run-to-run noise, so
