@@ -405,6 +405,18 @@ def q_focal_stats(spark, sf_dir):
     return focal_stats(rasterize_counts(geop))
 
 
+def q_downsample(spark, sf_dir):
+    """Raster pyramid level: the r9 pixel counts aggregated to r7 —
+    must equal rasterizing directly at r7 (the power-of-two hierarchy
+    makes parent indices exact bit-shifts), which is what the oracle
+    computes independently."""
+    from socialmapper_spark.operators.raster import downsample_counts, rasterize_counts
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages"))
+    return downsample_counts(rasterize_counts(geop), res=9, to_res=7)
+
+
 def q_lineage_stats(spark, sf_dir):
     """O14: per-bucket lineage rows (bucket, row_count, checksum) for the
     assignment stage, in the cross-engine md5-60 mode: bucket id AND the
@@ -1436,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "vectorize_hotspots": q_vectorize_hotspots,
         "focal_stats": q_focal_stats,
+        "downsample": q_downsample,
         "frame_sample": q_frame_sample,
         "geoid_build": q_geoid_build,
         # r2/r3-green entries filling the remaining gate slots
@@ -1447,10 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_filter": q_tag_filter,
         "speed_clamp": q_speed_clamp,
         "geometry_quarantine": q_geometry_quarantine,
-        "neighbor_states": q_neighbor_states,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
         "centroid_nearest_poi": q_centroid_nearest_poi,
@@ -2296,6 +2309,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as focal_n,
                    cast(sum(value) as bigint) / 9.0 as focal_mean
             from c group by jx, jy
+        """,
+        "downsample": f"""
+            -- independent derivation: rasterize DIRECTLY at r7 (the
+            -- Spark side aggregates the r9 raster up — the power-of-two
+            -- hierarchy makes the two computations provably equal)
+            with px as (
+                select cast(floor((lon+180.0)/0.02197265625) as bigint) % 16384 as ix,
+                       least(greatest(cast(floor((lat+90.0)/0.02197265625) as bigint),0),8191) as iy,
+                       count(*) as value
+                from read_parquet('{g}/golden_geoparsed.parquet')
+                where lat is not null
+                group by 1, 2
+            )
+            select cast(4 as bigint)*288230376151711744
+                     + (ix//8)*536870912 + (iy//8) as tile_id,
+                   cast(iy % 8 as int) as px_row,
+                   cast(ix % 8 as int) as px_col,
+                   cast(value as bigint) as value
+            from px
         """,
         "vectorize_hotspots": f"""
             with px as (

@@ -145,6 +145,56 @@ def focal_stats(
     )
 
 
+def downsample_counts(
+    raster: DataFrame,
+    res: int = DEFAULT_RES,
+    to_res: int = 7,
+    tile_res: int = DEFAULT_TILE_RES,
+) -> DataFrame:
+    """Raster pyramid/overview construction: aggregate the pixel table
+    from ``res`` down to ``to_res`` (each coarse pixel sums its
+    2^(res−to_res) × 2^(res−to_res) children — the overview levels a
+    tile server or zoomable map reads instead of rescanning the base
+    raster). Output has the same tiled schema as
+    :func:`rasterize_counts` at ``to_res``, so vectorize/focal/further
+    downsampling compose on it unchanged.
+
+    Pure Catalyst integer math: parent indices are bit-shifts of the
+    child indices (the cell hierarchy is power-of-two by construction,
+    geo/cells.py), and the single shuffle is a map-side-combinable sum
+    keyed on the parent pixel — building a full pyramid is one such agg
+    per level over ever-shrinking tables.
+    """
+    if not 0 <= to_res < res:
+        raise ValueError(f"to_res must be in [0, {res}), got {to_res}")
+    if to_res < tile_res:
+        raise ValueError(f"to_res {to_res} below tile_res {tile_res}")
+    shift = res - to_res
+    dr = to_res - tile_res
+    side = 1 << dr
+    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
+    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
+    in_side = 1 << (res - tile_res)
+    ix = tix * F.lit(in_side) + F.col("px_col")
+    iy = tiy * F.lit(in_side) + F.col("px_row")
+    parents = raster.select(
+        F.shiftright(ix, shift).alias("__jx"),
+        F.shiftright(iy, shift).alias("__jy"),
+        "value",
+    ).groupBy("__jx", "__jy").agg(F.sum("value").alias("value"))
+    tile = (
+        F.lit(tile_res).cast("long") * F.lit(_R_SHIFT)
+        + F.floor(F.col("__jx") / F.lit(side)).cast("long") * F.lit(_IX_SHIFT)
+        + F.floor(F.col("__jy") / F.lit(side)).cast("long")
+    )
+    return parents.select(
+        tile.alias("tile_id"),
+        F.pmod(F.col("__jy"), F.lit(side)).cast("int").alias("px_row"),
+        F.pmod(F.col("__jx"), F.lit(side)).cast("int").alias("px_col"),
+        "value",
+    )
+
+
 def tile_arrays(
     raster: DataFrame, res: int = DEFAULT_RES, tile_res: int = DEFAULT_TILE_RES
 ) -> DataFrame:

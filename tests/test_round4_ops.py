@@ -526,6 +526,39 @@ def test_focal_stats_matches_python_twin_with_wrap_and_clamp(spark):
     assert wrap_cells
 
 
+def test_downsample_equals_direct_rasterize(spark, geo_small):
+    """Pyramid identity: aggregating the r9 raster to r7 must equal
+    rasterizing the points directly at r7 (exact bit-shift hierarchy),
+    and chaining two levels (9→8→7) must equal one jump (9→7)."""
+    from socialmapper_spark.operators.raster import downsample_counts, rasterize_counts
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(spark.read.parquet(f"{geo_small}/pages.parquet"))
+    r9 = rasterize_counts(geop, res=9)
+    down = sorted(map(tuple, downsample_counts(r9, res=9, to_res=7).collect()))
+    direct = sorted(map(tuple, rasterize_counts(geop, res=7).collect()))
+    assert down == direct and len(down) > 0
+    two_step = sorted(
+        map(
+            tuple,
+            downsample_counts(
+                downsample_counts(r9, res=9, to_res=8), res=8, to_res=7
+            ).collect(),
+        )
+    )
+    assert two_step == direct
+
+
+def test_downsample_rejects_bad_res(spark):
+    from socialmapper_spark.operators.raster import downsample_counts
+
+    df = spark.createDataFrame([(0, 0, 0, 1)], "tile_id long, px_row int, px_col int, value long")
+    with pytest.raises(ValueError, match="to_res"):
+        downsample_counts(df, res=9, to_res=9)
+    with pytest.raises(ValueError, match="tile_res"):
+        downsample_counts(df, res=9, to_res=3)
+
+
 # --- BPE proxy divergence pins ----------------------------------------------------
 
 def test_bpe_proxy_divergence(spark):
