@@ -417,6 +417,19 @@ def q_downsample(spark, sf_dir):
     return downsample_counts(rasterize_counts(geop), res=9, to_res=7)
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per-polygon aggregate of the r9 pixel raster
+    (center-rule membership) — raster×vector composed through the
+    two-phase PIP machinery; golden oracle brute-forces every polygon
+    against every pixel center with the numpy PIP twin."""
+    from socialmapper_spark.operators.raster import rasterize_counts, zonal_stats
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    pages = _read_geo(spark, sf_dir, "pages")
+    polygons = _read_geo(spark, sf_dir, "polygons")
+    return zonal_stats(spark, rasterize_counts(geoparse_pages(pages)), polygons)
+
+
 def q_lineage_stats(spark, sf_dir):
     """O14: per-bucket lineage rows (bucket, row_count, checksum) for the
     assignment stage, in the cross-engine md5-60 mode: bucket id AND the
@@ -1449,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_hotspots": q_vectorize_hotspots,
         "focal_stats": q_focal_stats,
         "downsample": q_downsample,
+        "zonal_stats": q_zonal_stats,
         "frame_sample": q_frame_sample,
         "geoid_build": q_geoid_build,
         # r2/r3-green entries filling the remaining gate slots
@@ -1459,10 +1473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variable_summary": q_variable_summary,
         "tag_filter": q_tag_filter,
         "speed_clamp": q_speed_clamp,
-        "geometry_quarantine": q_geometry_quarantine,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "geometry_quarantine": q_geometry_quarantine,
         "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
@@ -2309,6 +2323,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as focal_n,
                    cast(sum(value) as bigint) / 9.0 as focal_mean
             from c group by jx, jy
+        """,
+        "zonal_stats": f"""
+            select poly_id, GEOID, kind, n_pixels, total_value, mean_value
+            from read_parquet('{g}/golden_zonal.parquet')
         """,
         "downsample": f"""
             -- independent derivation: rasterize DIRECTLY at r7 (the

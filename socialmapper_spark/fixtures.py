@@ -723,7 +723,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x7"
+GEO_EXTRA_VERSION = "x8"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -963,6 +963,74 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
             }
         ),
         out / "golden_classify.parquet",
+    )
+
+    # --- golden_zonal: per-polygon zonal statistics over the r9 raster ----
+    # Independent orchestration (numpy pixel binning + brute-force
+    # points_in_polygon on every polygon vs every pixel CENTER); the cell
+    # math and the PIP kernel are the shared twins the engine's
+    # spatial_join golden already relies on. Pixel centers are
+    # (idx + 0.5) * size − origin in float64 — bit-identical to the
+    # engine's Catalyst expression.
+    from collections import Counter
+
+    from socialmapper_spark.geo.cells import cell_size_deg
+    from socialmapper_spark.geo.wkb import wkb_to_rings
+
+    zsize = cell_size_deg(9)
+    zcells = Counter()
+    gl = duckdb.sql(
+        f"select lat, lon from read_parquet('{out}/golden_geoparsed.parquet') "
+        "where lat is not null"
+    ).fetchall()
+    zla = np.array([r[0] for r in gl])
+    zlo = np.array([r[1] for r in gl])
+    zix = (np.floor((zlo + 180.0) / zsize).astype(np.int64)) % (1 << 16)
+    ziy = np.clip(np.floor((zla + 90.0) / zsize).astype(np.int64), 0, (1 << 15) - 1)
+    for ij in zip(zix.tolist(), ziy.tolist()):
+        zcells[ij] += 1
+    zkeys = sorted(zcells)
+    zcx = np.array([(ix + 0.5) * zsize - 180.0 for ix, _ in zkeys])
+    zcy = np.array([(iy + 0.5) * zsize - 90.0 for _, iy in zkeys])
+    zvals = np.array([zcells[k] for k in zkeys], dtype=np.int64)
+    zpolys = duckdb.sql(
+        f"select poly_id, GEOID, kind, geometry_wkb "
+        f"from read_parquet('{out}/polygons.parquet') order by poly_id"
+    ).fetchall()
+    from socialmapper_spark.geo.pip import points_in_ring
+
+    zrows = {"poly_id": [], "GEOID": [], "kind": [], "n_pixels": [],
+             "total_value": [], "mean_value": []}
+    for pid, geoid, kind, wkb in zpolys:
+        # even-odd over the FULL ring list (exteriors, holes, every
+        # multipolygon member) — the exact twin of the engine's
+        # pip_refine_expr, which folds one concatenated edge list
+        mask = np.zeros(zcx.shape[0], dtype=bool)
+        for polyrings in wkb_to_rings(bytes(wkb)):
+            for ring in polyrings:
+                mask ^= points_in_ring(zcx, zcy, ring)
+        if not mask.any():
+            continue
+        n = int(mask.sum())
+        tot = int(zvals[mask].sum())
+        zrows["poly_id"].append(pid)
+        zrows["GEOID"].append(geoid)
+        zrows["kind"].append(kind)
+        zrows["n_pixels"].append(n)
+        zrows["total_value"].append(tot)
+        zrows["mean_value"].append(tot / n)
+    pq.write_table(
+        pa.table(
+            {
+                "poly_id": pa.array(zrows["poly_id"], pa.string()),
+                "GEOID": pa.array(zrows["GEOID"], pa.string()),
+                "kind": pa.array(zrows["kind"], pa.string()),
+                "n_pixels": pa.array(zrows["n_pixels"], pa.int64()),
+                "total_value": pa.array(zrows["total_value"], pa.int64()),
+                "mean_value": pa.array(zrows["mean_value"], pa.float64()),
+            }
+        ),
+        out / "golden_zonal.parquet",
     )
 
     # --- custom_coords.csv: S3 tolerant-reader fixture --------------------

@@ -195,6 +195,66 @@ def downsample_counts(
     )
 
 
+def zonal_stats(
+    spark,
+    raster: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    tile_res: int = DEFAULT_TILE_RES,
+) -> DataFrame:
+    """Zonal statistics — THE classic raster×vector analysis: aggregate
+    raster pixel values per polygon zone (pixel membership = cell CENTER
+    inside the polygon, the standard center-rule). Output one row per
+    polygon with ≥1 pixel: (poly_id, GEOID, kind, n_pixels, total_value,
+    mean_value).
+
+    Scale shape: pixel centers are exact Catalyst arithmetic on the
+    already-aggregated pixel table; the polygon side reuses the engine's
+    two-phase machinery (prepare_polygons cell cover broadcast →
+    pip_refine_expr exact ray-cast), so the pixel table never shuffles
+    for the join — the only wide exchange is the final per-polygon agg,
+    which is map-side combinable. No Python on the pixel path (the
+    polygon prep's mapInPandas is polygon-table-sized, as in the
+    flagship).
+    """
+    from socialmapper_spark.geo.cells import cell_size_deg
+    from socialmapper_spark.operators.spatial_join import (
+        PREFILTER_RES,
+        prepare_polygons,
+        spatial_join,
+    )
+
+    size = cell_size_deg(res)
+    in_side = 1 << (res - tile_res)
+    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
+    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
+    ix = tix * F.lit(in_side) + F.col("px_col")
+    iy = tiy * F.lit(in_side) + F.col("px_row")
+    centers = raster.select(
+        "value",
+        ((ix.cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)).alias("__lon"),
+        ((iy.cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(90.0)).alias("__lat"),
+    )
+    index = prepare_polygons(spark, polygons, PREFILTER_RES)
+    hits = spatial_join(centers, index, lat="__lat", lon="__lon")
+    return (
+        hits.join(F.broadcast(index.meta_df), "poly_id")
+        .groupBy("poly_id", "GEOID", "kind")
+        .agg(
+            F.count("*").alias("n_pixels"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "poly_id",
+            "GEOID",
+            "kind",
+            "n_pixels",
+            "total_value",
+            (F.col("total_value") / F.col("n_pixels")).alias("mean_value"),
+        )
+    )
+
+
 def tile_arrays(
     raster: DataFrame, res: int = DEFAULT_RES, tile_res: int = DEFAULT_TILE_RES
 ) -> DataFrame:

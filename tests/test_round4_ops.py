@@ -549,6 +549,23 @@ def test_downsample_equals_direct_rasterize(spark, geo_small):
     assert two_step == direct
 
 
+def test_zonal_stats_matches_golden(spark, geo_small):
+    """Zonal statistics at sf0.001 == the brute-force golden (numpy PIP
+    twin over every polygon × every pixel center), including the exact
+    double-typed mean."""
+    from socialmapper_spark.operators.raster import rasterize_counts, zonal_stats
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    pages = spark.read.parquet(f"{geo_small}/pages.parquet")
+    polygons = spark.read.parquet(f"{geo_small}/polygons.parquet")
+    got = sorted(
+        map(tuple, zonal_stats(spark, rasterize_counts(geoparse_pages(pages)),
+                               polygons).collect())
+    )
+    exp = sorted(map(tuple, spark.read.parquet(f"{geo_small}/golden_zonal.parquet").collect()))
+    assert got == exp and len(got) > 0
+
+
 def test_downsample_rejects_bad_res(spark):
     from socialmapper_spark.operators.raster import downsample_counts
 
