@@ -60,7 +60,13 @@ def main() -> None:
     from socialmapper_spark.fixtures import ensure_crawl_fixture
     from socialmapper_spark.operators.dedup import winnow_fingerprints
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # documents.parquet ships as ONE row group, and a row group is Spark's
+    # minimum split unit — without this repartition every documents-side
+    # entry times a single core while claiming local[32] (measured 30×
+    # understatement). Production corpora arrive in many splits; the
+    # repartition restores the parallelism the operator would actually
+    # have, at the cost of one tiny counted shuffle outside the hot loop.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
     n_docs = docs.count()
     crawl_dir = str(ensure_crawl_fixture(sf_dir))
     n_crawl = spark.read.parquet(f"{crawl_dir}/crawl_pages.parquet").count()
