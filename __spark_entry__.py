@@ -430,6 +430,16 @@ def q_zonal_stats(spark, sf_dir):
     return zonal_stats(spark, rasterize_counts(geoparse_pages(pages)), polygons)
 
 
+def q_polygon_burn(spark, sf_dir):
+    """Polygon burn (vector→raster for polygons): every r9 cell whose
+    center lies inside each polygon — candidates are cover-cell children,
+    refined by the exact ray cast; golden oracle enumerates polygon bbox
+    cells and refines with the numpy PIP twin."""
+    from socialmapper_spark.operators.raster import rasterize_polygons
+
+    return rasterize_polygons(spark, _read_geo(spark, sf_dir, "polygons"))
+
+
 def q_lineage_stats(spark, sf_dir):
     """O14: per-bucket lineage rows (bucket, row_count, checksum) for the
     assignment stage, in the cross-engine md5-60 mode: bucket id AND the
@@ -1463,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats": q_focal_stats,
         "downsample": q_downsample,
         "zonal_stats": q_zonal_stats,
+        "polygon_burn": q_polygon_burn,
         "frame_sample": q_frame_sample,
         "geoid_build": q_geoid_build,
         # r2/r3-green entries filling the remaining gate slots
@@ -1472,10 +1483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zcta_cleanse": q_zcta_cleanse,
         "variable_summary": q_variable_summary,
         "tag_filter": q_tag_filter,
-        "speed_clamp": q_speed_clamp,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "speed_clamp": q_speed_clamp,
         "geometry_quarantine": q_geometry_quarantine,
         "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
@@ -2327,6 +2338,9 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": f"""
             select poly_id, GEOID, kind, n_pixels, total_value, mean_value
             from read_parquet('{g}/golden_zonal.parquet')
+        """,
+        "polygon_burn": f"""
+            select cell, poly_id from read_parquet('{g}/golden_burn.parquet')
         """,
         "downsample": f"""
             -- independent derivation: rasterize DIRECTLY at r7 (the

@@ -723,7 +723,7 @@ def _round_half_up(x: float, places: int) -> float:
     return float(Decimal(repr(x)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
 
 
-GEO_EXTRA_VERSION = "x8"
+GEO_EXTRA_VERSION = "x9"
 
 
 def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
@@ -1031,6 +1031,42 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
             }
         ),
         out / "golden_zonal.parquet",
+    )
+
+    # --- golden_burn: polygon → r9 cells (center-rule), brute force -------
+    # Independent orchestration vs the engine (bbox enumeration instead of
+    # cover-children); same center arithmetic and the same even-odd ring
+    # fold, so the refined sets must be identical.
+    bix0 = lambda lo: int(np.floor((lo + 180.0) / zsize))
+    biy = lambda la: int(np.floor((la + 90.0) / zsize))
+    brows = {"cell": [], "poly_id": []}
+    for pid, _geoid, _kind, wkb in zpolys:
+        members = wkb_to_rings(bytes(wkb))
+        allv = np.vstack([r for m in members for r in m])
+        jx = np.arange(bix0(allv[:, 0].min()), bix0(allv[:, 0].max()) + 1)
+        jy = np.arange(
+            max(biy(allv[:, 1].min()), 0),
+            min(biy(allv[:, 1].max()), (1 << 15) - 1) + 1,
+        )
+        gx, gy = np.meshgrid(jx, jy, indexing="ij")
+        gx, gy = gx.ravel(), gy.ravel()
+        ccx = (gx + 0.5) * zsize - 180.0
+        ccy = (gy + 0.5) * zsize - 90.0
+        bmask = np.zeros(ccx.shape[0], dtype=bool)
+        for polyrings in members:
+            for ring in polyrings:
+                bmask ^= points_in_ring(ccx, ccy, ring)
+        for x, y in zip(gx[bmask].tolist(), gy[bmask].tolist()):
+            brows["cell"].append(9 * (2**58) + x * (2**29) + y)
+            brows["poly_id"].append(pid)
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(brows["cell"], pa.int64()),
+                "poly_id": pa.array(brows["poly_id"], pa.string()),
+            }
+        ),
+        out / "golden_burn.parquet",
     )
 
     # --- custom_coords.csv: S3 tolerant-reader fixture --------------------

@@ -255,6 +255,69 @@ def zonal_stats(
     )
 
 
+def rasterize_polygons(
+    spark,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """Polygon burn — vector polygons → raster cells: one (cell, poly_id)
+    row per resolution-``res`` cell whose CENTER lies inside the polygon
+    (center-rule, the same membership zonal_stats uses — burn then zonal
+    compose exactly). Completes the raster↔vector matrix: points→raster
+    (rasterize_counts), polygons→raster (this), raster→vector
+    (vectorize_threshold), raster→raster (focal, pyramid), raster×vector
+    (zonal).
+
+    Scale shape: candidate cells are the children of the polygon's
+    cell cover at PREFILTER_RES — the cover is a no-false-negative
+    over-approximation (geo/cells.py), so center-inside cells are never
+    missed and the exact ray-cast refine removes the rest. Everything is
+    polygon-table-sized: the cover mapInPandas, the child explode
+    (4^(res−cover_res) per cover cell, in-plan sequence), and the
+    broadcast edge join; the corpus never participates. No shuffle of
+    anything bigger than the burned cell set itself.
+    """
+    from socialmapper_spark.geo.cells import cell_size_deg
+    from socialmapper_spark.operators.spatial_join import (
+        PREFILTER_RES,
+        pip_refine_expr,
+        prepare_polygons,
+    )
+
+    cover_res = PREFILTER_RES
+    if res < cover_res:
+        raise ValueError(f"res {res} below cover resolution {cover_res}")
+    steps = res - cover_res
+    per_axis = 1 << steps
+    size = cell_size_deg(res)
+    index = prepare_polygons(spark, polygons, cover_res)
+    rem = F.pmod(F.col("cell"), F.lit(_R_SHIFT))
+    cix = F.floor(rem / F.lit(_IX_SHIFT)).cast("long")
+    ciy = (rem - F.floor(rem / F.lit(_IX_SHIFT)).cast("long") * F.lit(_IX_SHIFT)).cast("long")
+    kids = index.cells_df.select(
+        "poly_id",
+        (cix * F.lit(per_axis)).alias("__bx"),
+        (ciy * F.lit(per_axis)).alias("__by"),
+        F.explode(F.sequence(F.lit(0), F.lit(per_axis * per_axis - 1))).alias("__o"),
+    ).select(
+        "poly_id",
+        (F.col("__bx") + F.col("__o") % per_axis).alias("__jx"),
+        (F.col("__by") + F.floor(F.col("__o") / per_axis).cast("long")).alias("__jy"),
+    )
+    lon_c = (F.col("__jx").cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)
+    lat_c = (F.col("__jy").cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(90.0)
+    hits = (
+        kids.join(F.broadcast(index.geoms_df), "poly_id")
+        .filter(pip_refine_expr(F.col("__edges"), lon_c, lat_c))
+    )
+    cell = (
+        F.lit(res).cast("long") * F.lit(_R_SHIFT)
+        + F.col("__jx") * F.lit(_IX_SHIFT)
+        + F.col("__jy")
+    )
+    return hits.select(cell.alias("cell"), "poly_id")
+
+
 def tile_arrays(
     raster: DataFrame, res: int = DEFAULT_RES, tile_res: int = DEFAULT_TILE_RES
 ) -> DataFrame:

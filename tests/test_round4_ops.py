@@ -566,6 +566,33 @@ def test_zonal_stats_matches_golden(spark, geo_small):
     assert got == exp and len(got) > 0
 
 
+def test_polygon_burn_matches_golden_and_contains_zonal_pixels(spark, geo_small):
+    """Burn == golden (bbox-enumeration brute force); and composition
+    consistency: every pixel zonal_stats counted for a polygon is a cell
+    that burns into that polygon (center-rule agreement between the two
+    independent operators)."""
+    from socialmapper_spark.operators.raster import (
+        rasterize_counts,
+        rasterize_polygons,
+        zonal_stats,
+    )
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    polygons = spark.read.parquet(f"{geo_small}/polygons.parquet")
+    burn = rasterize_polygons(spark, polygons)
+    got = sorted(map(tuple, burn.collect()))
+    exp = sorted(map(tuple, spark.read.parquet(f"{geo_small}/golden_burn.parquet").collect()))
+    assert got == exp and len(got) > 0
+
+    pages = spark.read.parquet(f"{geo_small}/pages.parquet")
+    zon = zonal_stats(spark, rasterize_counts(geoparse_pages(pages)), polygons)
+    from collections import Counter
+
+    burn_count = Counter(p for _c, p in got)
+    for r in zon.collect():
+        assert r["n_pixels"] <= burn_count[r["poly_id"]]
+
+
 def test_downsample_rejects_bad_res(spark):
     from socialmapper_spark.operators.raster import downsample_counts
 
