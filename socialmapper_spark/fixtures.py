@@ -1085,7 +1085,7 @@ def ensure_geo_extras(sf_dir: str) -> pathlib.Path:
     return out
 
 
-CRAWL_VERSION = "c1"
+CRAWL_VERSION = "c2"
 CRAWL_HOSTS = 16
 
 
@@ -1161,7 +1161,15 @@ def ensure_crawl_fixture(sf_dir: str) -> pathlib.Path:
             "lang": pa.array(lang_u[rep][perm], pa.string()),
         }
     )
-    pq.write_table(tbl, out / "crawl_pages.parquet", row_group_size=16384)
+    # row_group_size: a row group is Spark's minimum split unit, so the
+    # group count IS the fixture's max scan parallelism — 16384 capped
+    # sf0.1 at 10 tasks and silently serialized every crawl-side scan
+    # (measured: the admission gate ran ~9 s at BOTH 8 and 32 cores).
+    # ~64 groups give full parallelism at every tested core count.
+    pq.write_table(
+        tbl, out / "crawl_pages.parquet",
+        row_group_size=max(tbl.num_rows // 64, 256),
+    )
     marker.touch()
     return out
 
