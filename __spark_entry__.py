@@ -877,6 +877,15 @@ def q_ivf_ann_many(spark, sf_dir):
     return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 max-abs quantization of the embeddings table, with
+    per-vector reconstruction-error audit — floor-based rounding so the
+    codes are bit-reproducible across Spark and DuckDB."""
+    from socialmapper_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup GROUPS: minhash candidates → jaccard verify → iterative
     hash-min connected components → (doc_id, group_id, is_canonical)."""
@@ -1449,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "embedding_dup": q_embedding_dup,
+        "embedding_quantize": q_embedding_quantize,
         # crawl-curation surface (r3-new, one driver row so far)
         "host_stats": q_host_stats,
         "host_daily": q_host_daily,
@@ -1482,10 +1492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zcta_assignments": q_zcta_assignments,
         "zcta_cleanse": q_zcta_cleanse,
         "variable_summary": q_variable_summary,
-        "tag_filter": q_tag_filter,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in ≥2 rounds) still checked by the local
         # oracle replica every round ---
+        "tag_filter": q_tag_filter,
         "speed_clamp": q_speed_clamp,
         "geometry_quarantine": q_geometry_quarantine,
         "neighbor_states": q_neighbor_states,
@@ -2168,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
             select vec_a, vec_b, cosine
             from read_parquet('{tg}/golden_embedding_dup.parquet')
         """,
+        "embedding_quantize": _embedding_quantize_sql(),
         "lsh_ann_many": f"""
             select query_id, vec_id, cosine, rank
             from read_parquet('{tg}/golden_lsh_ann.parquet')
@@ -2683,6 +2694,14 @@ def _canonical_url_sql(expr: str) -> str:
     from socialmapper_spark.operators.web import canonical_url_sql
 
     return canonical_url_sql(expr)
+
+
+def _embedding_quantize_sql() -> str:
+    """DuckDB twin of operators.similarity.quantize_embeddings (generated
+    beside the Spark code — single source for the floor rounding rule)."""
+    from socialmapper_spark.operators.similarity import quantize_embeddings_sql
+
+    return quantize_embeddings_sql("embeddings")
 
 
 def _language_id_sql_twin() -> str:

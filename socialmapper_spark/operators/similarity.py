@@ -46,6 +46,80 @@ def _norm_expr(vec_col: F.Column) -> F.Column:
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 max-abs quantization of an embedding column —
+    the 4× memory cut a 100-TB ANN index takes before sharding:
+    ``q_i = clamp(floor(x_i / scale · 127 + 0.5), −127, 127)`` with
+    ``scale = max|x_i|`` per vector. floor(·+0.5) is the rounding rule
+    ON PURPOSE: Spark's round() (HALF_UP) and DuckDB's round() disagree
+    with each other on some half-way doubles, while floor of the same
+    IEEE double is identical everywhere — so the quantized codes are
+    bit-reproducible across engines and the oracle can hash them.
+
+    Output: (id, scale double, q array<int>, max_abs_err double) where
+    max_abs_err = max_i |x_i − q_i·scale/127| ≤ scale/254 + ulp (the
+    round-to-nearest bound; pytest pins it). Pure Catalyst scan-side
+    projection — no shuffle, no Python; dequantization is
+    ``q_i · scale / 127`` with the same cross-engine exactness.
+    """
+    vec = F.col(vec_col)
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    d = embeddings.select(id_col, vec_col, scale.alias("scale"))
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(
+                        x.cast("double") / F.col("scale") * F.lit(127.0) + F.lit(0.5)
+                    ),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    d = d.withColumn("q", qarr)
+    err = F.array_max(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("q"),
+            lambda x, qi: F.abs(
+                x.cast("double") - qi.cast("double") * F.col("scale") / F.lit(127.0)
+            ),
+        )
+    )
+    return d.select(id_col, "scale", "q", err.alias("max_abs_err"))
+
+
+def quantize_embeddings_sql(table_expr: str = "embeddings") -> str:
+    """DuckDB twin of :func:`quantize_embeddings` — same floor-based
+    rounding, same IEEE expression shapes, generated beside the Spark
+    code so the two dialects cannot drift."""
+    scale = "list_max(list_transform(embedding, x -> abs(cast(x as double))))"
+    q = (
+        "list_transform(embedding, x -> cast(case when scale = 0.0 then 0 "
+        "else greatest(-127, least(127, "
+        "floor(cast(x as double) / scale * 127.0 + 0.5))) end as int))"
+    )
+    err = (
+        "list_max(list_transform(range(1, len(embedding) + 1), "
+        "i -> abs(cast(embedding[i] as double) "
+        "- cast(q[i] as double) * scale / 127.0)))"
+    )
+    return (
+        f"select vec_id, scale, q, {err} as max_abs_err from ("
+        f"select vec_id, embedding, scale, {q} as q from ("
+        f"select vec_id, embedding, {scale} as scale from {table_expr}))"
+    )
+
+
 def cosine_topk(
     spark: SparkSession,
     embeddings: DataFrame,

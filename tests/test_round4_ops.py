@@ -603,6 +603,56 @@ def test_downsample_rejects_bad_res(spark):
         downsample_counts(df, res=9, to_res=3)
 
 
+# --- int8 embedding quantization ---------------------------------------------------
+
+def test_quantize_embeddings_error_bound_and_roundtrip(spark):
+    """Codes stay in [-127, 127]; the reconstruction error never exceeds
+    the round-to-nearest bound scale/254 (+ float slack); a zero vector
+    quantizes to all zeros with scale 0; exact ±scale elements map to
+    ±127 exactly."""
+    from socialmapper_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-2.0, 2.0, 1.999, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, vec in rows:
+        r = got[i]
+        assert all(-127 <= q <= 127 for q in r["q"])
+        if all(v == 0.0 for v in vec):
+            assert r["scale"] == 0.0 and all(q == 0 for q in r["q"])
+            continue
+        scale = max(abs(v) for v in vec)
+        assert r["scale"] == scale
+        assert r["max_abs_err"] <= scale / 254 * (1 + 1e-12)
+        for v, q in zip(vec, r["q"]):
+            if abs(v) == scale:
+                assert abs(q) == 127
+            assert abs(v - q * scale / 127.0) <= scale / 254 * (1 + 1e-12)
+
+
+def test_quantize_fixture_embeddings_accuracy(spark):
+    """On the real fixture embeddings, dequantized cosine vs the original
+    stays above 0.999 for every vector (int8 is enough resolution for
+    ANN recall at these dims)."""
+    import numpy as np
+
+    from socialmapper_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for r in quantize_embeddings(emb).collect():
+        x = orig[r["vec_id"]]
+        if r["scale"] == 0.0:
+            continue
+        d = np.array(r["q"], dtype=np.float64) * r["scale"] / 127.0
+        cos = float(x @ d / (np.linalg.norm(x) * np.linalg.norm(d)))
+        assert cos > 0.999, (r["vec_id"], cos)
+
+
 # --- BPE proxy divergence pins ----------------------------------------------------
 
 def test_bpe_proxy_divergence(spark):
