@@ -880,10 +880,23 @@ def q_ivf_ann_many(spark, sf_dir):
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 max-abs quantization of the embeddings table, with
     per-vector reconstruction-error audit — floor-based rounding so the
-    codes are bit-reproducible across Spark and DuckDB."""
+    codes are bit-reproducible across Spark and DuckDB.
+
+    Registry projection serializes the int8 codes as a comma-joined
+    string (the mentions_str pattern above): the driver's pandas
+    canonicalizer cannot sort/hash an array<int> column (r4's only red
+    row was exactly this, not a value mismatch)."""
     from socialmapper_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    out = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+            "q_str"
+        ),
+        "max_abs_err",
+    )
 
 
 def q_dedup_groups(spark, sf_dir):
@@ -2698,10 +2711,11 @@ def _canonical_url_sql(expr: str) -> str:
 
 def _embedding_quantize_sql() -> str:
     """DuckDB twin of operators.similarity.quantize_embeddings (generated
-    beside the Spark code — single source for the floor rounding rule)."""
+    beside the Spark code — single source for the floor rounding rule);
+    codes_as_string matches the registry's q_str projection."""
     from socialmapper_spark.operators.similarity import quantize_embeddings_sql
 
-    return quantize_embeddings_sql("embeddings")
+    return quantize_embeddings_sql("embeddings", codes_as_string=True)
 
 
 def _language_id_sql_twin() -> str:

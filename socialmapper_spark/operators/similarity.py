@@ -65,9 +65,22 @@ def quantize_embeddings(
     round-to-nearest bound; pytest pins it). Pure Catalyst scan-side
     projection — no shuffle, no Python; dequantization is
     ``q_i · scale / 127`` with the same cross-engine exactness.
+
+    Domain of the bit-reproducibility contract (r4 ADVICE): it holds only
+    for finite, non-empty vectors. Empty vectors and vectors containing
+    NaN are OUTSIDE the domain — Spark and DuckDB disagree on NaN
+    ordering inside max and on floor(NaN) — so both are nulled out
+    explicitly (scale/q/max_abs_err all NULL) rather than left to
+    engine-dependent propagation. The SQL twin applies the same guard.
     """
     vec = F.col(vec_col)
-    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    raw_scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    # Guard: empty vector → array_max returns NULL; any NaN element makes
+    # raw_scale NaN (NaN sorts greatest in Spark's array_max). Null the
+    # scale in both cases so every downstream output nulls with it.
+    scale = F.when(F.isnan(raw_scale), F.lit(None).cast("double")).otherwise(
+        raw_scale
+    )
     d = embeddings.select(id_col, vec_col, scale.alias("scale"))
     qarr = F.transform(
         F.col(vec_col),
@@ -85,7 +98,12 @@ def quantize_embeddings(
         )
         .cast("int"),
     )
-    d = d.withColumn("q", qarr)
+    d = d.withColumn(
+        "q",
+        F.when(F.col("scale").isNull(), F.lit(None).cast("array<int>")).otherwise(
+            qarr
+        ),
+    )
     err = F.array_max(
         F.zip_with(
             F.col(vec_col),
@@ -98,23 +116,40 @@ def quantize_embeddings(
     return d.select(id_col, "scale", "q", err.alias("max_abs_err"))
 
 
-def quantize_embeddings_sql(table_expr: str = "embeddings") -> str:
+def quantize_embeddings_sql(
+    table_expr: str = "embeddings", codes_as_string: bool = False
+) -> str:
     """DuckDB twin of :func:`quantize_embeddings` — same floor-based
-    rounding, same IEEE expression shapes, generated beside the Spark
-    code so the two dialects cannot drift."""
-    scale = "list_max(list_transform(embedding, x -> abs(cast(x as double))))"
+    rounding, same IEEE expression shapes, same NaN/empty-vector guard,
+    generated beside the Spark code so the two dialects cannot drift.
+
+    ``codes_as_string=True`` emits the codes as a comma-joined string
+    column ``q_str`` instead of ``q array<int>`` — the driver's pandas
+    canonicalizer cannot sort/hash list-typed columns (r4 red row), and
+    int→string casting is representation-identical in both engines.
+    """
+    # NaN/empty guard mirrors the Spark side: list_max of an empty list is
+    # NULL in DuckDB too, and any NaN element makes the raw max NaN.
+    scale = (
+        "(case when isnan(list_max(list_transform(embedding, "
+        "x -> abs(cast(x as double))))) then null "
+        "else list_max(list_transform(embedding, "
+        "x -> abs(cast(x as double)))) end)"
+    )
     q = (
+        "case when scale is null then null else "
         "list_transform(embedding, x -> cast(case when scale = 0.0 then 0 "
         "else greatest(-127, least(127, "
-        "floor(cast(x as double) / scale * 127.0 + 0.5))) end as int))"
+        "floor(cast(x as double) / scale * 127.0 + 0.5))) end as int)) end"
     )
     err = (
         "list_max(list_transform(range(1, len(embedding) + 1), "
         "i -> abs(cast(embedding[i] as double) "
         "- cast(q[i] as double) * scale / 127.0)))"
     )
+    q_proj = "array_to_string(q, ',') as q_str" if codes_as_string else "q"
     return (
-        f"select vec_id, scale, q, {err} as max_abs_err from ("
+        f"select vec_id, scale, {q_proj}, {err} as max_abs_err from ("
         f"select vec_id, embedding, scale, {q} as q from ("
         f"select vec_id, embedding, {scale} as scale from {table_expr}))"
     )
