@@ -1363,6 +1363,15 @@ def q_corpus_curation(spark, sf_dir):
     method-size cliff; the join-everything shape keeps each expensive
     alias referenced ≥2 times, which CollapseProject refuses to inline.
     Zero Python nodes."""
+    return corpus_curation_frame(_read(spark, sf_dir, "documents"))
+
+
+def corpus_curation_frame(docs):
+    """The corpus-curation funnel over a caller-provided documents frame —
+    split out so bench.py can thread its multi-split repartitioned frame
+    in (the sf fixture ships as ONE parquet row group; re-reading it
+    inside the entry capped the bench's scan stage at 1 task regardless
+    of core count — r4 ADVICE bench.py:66)."""
     from socialmapper_spark.functions.text import (
         language_id,
         pii_cols,
@@ -1372,7 +1381,6 @@ def q_corpus_curation(spark, sf_dir):
     )
     from socialmapper_spark.operators.dedup import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     cont = decontaminate(docs, bench).select("doc_id", "contaminated")
     base = docs.select(
@@ -1419,14 +1427,19 @@ def q_crawl_enrich_stream(spark, sf_dir):
 
 def q_snapshot_dedup_stream(spark, sf_dir):
     """Streaming first-seen-wins url admission gate
-    (dropDuplicatesWithinWatermark). No SQL oracle: which physical row is
-    'first' is micro-batch-order-dependent; the row COUNT (one per url)
-    and schema are the stable contract (driver rows-only check), the
-    set-level invariants are pinned by pytest."""
+    (dropDuplicatesWithinWatermark). Which physical row is 'first' is
+    micro-batch-order-dependent, so the payload columns (warc_ts, lang)
+    are engine-chosen; the DETERMINISTIC contract is the admitted url
+    set — every url emitted exactly once inside the watermark horizon
+    (fixture snapshots span 4 days << the 30-day horizon). The registry
+    projects exactly that set so a SQL oracle (distinct url) can
+    hash-check it; the per-row payload invariants stay pytest-pinned
+    (tests assert every emitted row exists in the input)."""
     from socialmapper_spark.fixtures import ensure_crawl_fixture
     from socialmapper_spark.operators.web import snapshot_dedup_stream
 
-    return snapshot_dedup_stream(spark, str(ensure_crawl_fixture(sf_dir)))
+    out = snapshot_dedup_stream(spark, str(ensure_crawl_fixture(sf_dir)))
+    return out.select("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1892,6 +1905,14 @@ def oracle_sql() -> dict[str, str]:
                      count(*) over (partition by url) as n_snapshots
               from read_parquet('{g}/crawl_pages.parquet'))
             where rn = 1
+        """,
+        "snapshot_dedup_stream": f"""
+            -- deterministic projection of the streaming admission gate:
+            -- one row per admitted url (payload columns are micro-batch-
+            -- order-chosen and stay pytest-pinned; see q_snapshot_dedup_stream)
+            select url
+            from read_parquet('{g}/crawl_pages.parquet')
+            group by url
         """,
         "host_stats": f"""
             select regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as host,

@@ -95,8 +95,10 @@ def main() -> None:
         # training-data pipeline runs end to end
         ("crawl_curation", lambda: entrymod.q_crawl_curation(spark, sf_dir).count()),
         # document-side curation funnel (language → quality → repetition →
-        # decontaminate → sample → scrub) — scan-side gates, one join
-        ("corpus_curation", lambda: entrymod.q_corpus_curation(spark, sf_dir).count()),
+        # decontaminate → sample → scrub) — scan-side gates, one join.
+        # Threads the repartitioned docs frame in (the fixture is a single
+        # row group; an internal re-read would time ~1 core, r4 ADVICE)
+        ("corpus_curation", lambda: entrymod.corpus_curation_frame(docs).count()),
         # raster smoothing (3×3 focal over the r9 pixel grid)
         ("focal_stats", lambda: entrymod.q_focal_stats(spark, sf_dir).count()),
     ]

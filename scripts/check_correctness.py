@@ -51,6 +51,8 @@ def main(selected: list[str]) -> int:
     import __spark_entry__ as entrymod
     from socialmapper_spark.session import get_spark
 
+    from socialmapper_spark.session import release_caches
+
     spark = get_spark(app_name="correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -66,6 +68,10 @@ def main(selected: list[str]) -> int:
         try:
             sdf = qs[name](spark, SF_DIR)
             spark_rows = sdf.collect()
+            # drop any persist() handles the operator attached (kring kNN,
+            # host_top_terms) — a 100+-entry run would otherwise accrete
+            # resident cached blocks for its whole lifetime (r4 ADVICE)
+            release_caches(sdf)
             spark_cols = sdf.columns
             got = sorted(
                 tuple(norm(row[c]) for c in sorted(spark_cols)) for row in spark_rows

@@ -471,6 +471,22 @@ def _hashmin_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
         labels = new.drop("__chg")
         if changed == 0:
             break
+    else:
+        # convergence contract mirror of _star_labels: hash-min's
+        # max_iter exit is milder (one row per node is still guaranteed)
+        # but labels may not have propagated across full components —
+        # a single component can come out split into several group_ids.
+        # Warn rather than raise: hash-min needs diameter rounds, and a
+        # caller on a long-chain graph may accept partial merging.
+        import warnings
+
+        warnings.warn(
+            f"hash-min connected-components still changing after "
+            f"{max_iter} rounds; components may be split — raise "
+            f"max_iter or use method='star' (O(log n) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels
 
@@ -509,6 +525,7 @@ def _star_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
         return (r["n"], r["x"])
 
     prev = checksum(edges)
+    converged = False
     for _ in range(max_iter):
         # large-star: sym neighbors; m(u) = min(neighbors ∪ {u});
         # link every v > u to m
@@ -537,8 +554,20 @@ def _star_labels(pairs: DataFrame, max_iter: int) -> DataFrame:
         edges = small
         cur = checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # r4 ADVICE: exiting via max_iter means the edge set is NOT yet
+        # disjoint stars — the labeling below would emit multiple
+        # conflicting (node, label) rows per node. That is silent data
+        # corruption downstream (duplicate doc_id rows in dedup_groups),
+        # so fail loudly instead; star rounds converge in O(log n), so a
+        # hit here means max_iter is set far too low for the input.
+        raise RuntimeError(
+            f"star connected-components did not converge within "
+            f"{max_iter} rounds (checksum still changing); raise max_iter"
+        )
     # fixed point: edges are stars (u → root); roots label themselves.
     # Nodes whose only pair rows were self-pairs (doc_a == doc_b) carry
     # no star edge — union them back as their own label so the method

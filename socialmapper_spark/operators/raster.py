@@ -39,14 +39,23 @@ DEFAULT_RES = 9
 DEFAULT_TILE_RES = 4
 
 
+_IX_BITS = 29  # log2(_IX_SHIFT) — keep in sync with geo/cells.py
+
+
 def _ix(cell: F.Column) -> F.Column:
-    rem = F.pmod(cell, F.lit(_R_SHIFT))
-    return F.floor(rem / F.lit(_IX_SHIFT)).cast("long")
+    """x-index from an encoded cell OR tile id (same bit layout:
+    res·2^58 + ix·2^29 + iy). Exact integer ops only — the previous
+    floor(rem / 2^29) evaluated in double, whose 53-bit mantissa can
+    misfloor once rem ≥ 2^53 (res ≥ 17; MAX_RES is 22). shiftright is
+    integer floor-division by 2^29 for the non-negative pmod remainder
+    (r4 ADVICE raster.py:108)."""
+    return F.shiftright(F.pmod(cell, F.lit(_R_SHIFT)), _IX_BITS).cast("long")
 
 
 def _iy(cell: F.Column) -> F.Column:
-    rem = F.pmod(cell, F.lit(_R_SHIFT))
-    return (rem - _ix(cell) * F.lit(_IX_SHIFT)).cast("long")
+    """y-index from an encoded cell or tile id — exact integer mod
+    (2^58 is a multiple of 2^29, so cell % 2^29 ≡ (cell % 2^58) % 2^29)."""
+    return F.pmod(cell, F.lit(_IX_SHIFT)).cast("long")
 
 
 def rasterize_counts(
@@ -69,8 +78,8 @@ def rasterize_counts(
     ix, iy = _ix(F.col("cell")), _iy(F.col("cell"))
     tile = (
         F.lit(tile_res).cast("long") * F.lit(_R_SHIFT)
-        + F.floor(ix / F.lit(side)).cast("long") * F.lit(_IX_SHIFT)
-        + F.floor(iy / F.lit(side)).cast("long")
+        + F.shiftright(ix, dr).cast("long") * F.lit(_IX_SHIFT)
+        + F.shiftright(iy, dr).cast("long")
     )
     return counts.select(
         tile.alias("tile_id"),
@@ -106,10 +115,8 @@ def focal_stats(
     dr = res - tile_res
     side = 1 << dr
     nx, ny = 1 << (res + 7), 1 << (res + 6)
-    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
-    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
-    ix = tix * F.lit(side) + F.col("px_col")
-    iy = tiy * F.lit(side) + F.col("px_row")
+    ix = _ix(F.col("tile_id")) * F.lit(side) + F.col("px_col")
+    iy = _iy(F.col("tile_id")) * F.lit(side) + F.col("px_row")
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -172,11 +179,9 @@ def downsample_counts(
     shift = res - to_res
     dr = to_res - tile_res
     side = 1 << dr
-    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
-    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
     in_side = 1 << (res - tile_res)
-    ix = tix * F.lit(in_side) + F.col("px_col")
-    iy = tiy * F.lit(in_side) + F.col("px_row")
+    ix = _ix(F.col("tile_id")) * F.lit(in_side) + F.col("px_col")
+    iy = _iy(F.col("tile_id")) * F.lit(in_side) + F.col("px_row")
     parents = raster.select(
         F.shiftright(ix, shift).alias("__jx"),
         F.shiftright(iy, shift).alias("__jy"),
@@ -184,8 +189,8 @@ def downsample_counts(
     ).groupBy("__jx", "__jy").agg(F.sum("value").alias("value"))
     tile = (
         F.lit(tile_res).cast("long") * F.lit(_R_SHIFT)
-        + F.floor(F.col("__jx") / F.lit(side)).cast("long") * F.lit(_IX_SHIFT)
-        + F.floor(F.col("__jy") / F.lit(side)).cast("long")
+        + F.shiftright(F.col("__jx"), dr).cast("long") * F.lit(_IX_SHIFT)
+        + F.shiftright(F.col("__jy"), dr).cast("long")
     )
     return parents.select(
         tile.alias("tile_id"),
@@ -226,10 +231,8 @@ def zonal_stats(
 
     size = cell_size_deg(res)
     in_side = 1 << (res - tile_res)
-    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
-    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
-    ix = tix * F.lit(in_side) + F.col("px_col")
-    iy = tiy * F.lit(in_side) + F.col("px_row")
+    ix = _ix(F.col("tile_id")) * F.lit(in_side) + F.col("px_col")
+    iy = _iy(F.col("tile_id")) * F.lit(in_side) + F.col("px_row")
     centers = raster.select(
         "value",
         ((ix.cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)).alias("__lon"),
@@ -291,9 +294,7 @@ def rasterize_polygons(
     per_axis = 1 << steps
     size = cell_size_deg(res)
     index = prepare_polygons(spark, polygons, cover_res)
-    rem = F.pmod(F.col("cell"), F.lit(_R_SHIFT))
-    cix = F.floor(rem / F.lit(_IX_SHIFT)).cast("long")
-    ciy = (rem - F.floor(rem / F.lit(_IX_SHIFT)).cast("long") * F.lit(_IX_SHIFT)).cast("long")
+    cix, ciy = _ix(F.col("cell")), _iy(F.col("cell"))
     kids = index.cells_df.select(
         "poly_id",
         (cix * F.lit(per_axis)).alias("__bx"),
@@ -302,7 +303,7 @@ def rasterize_polygons(
     ).select(
         "poly_id",
         (F.col("__bx") + F.col("__o") % per_axis).alias("__jx"),
-        (F.col("__by") + F.floor(F.col("__o") / per_axis).cast("long")).alias("__jy"),
+        (F.col("__by") + F.shiftright(F.col("__o"), steps).cast("long")).alias("__jy"),
     )
     lon_c = (F.col("__jx").cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(180.0)
     lat_c = (F.col("__jy").cast("double") + F.lit(0.5)) * F.lit(size) - F.lit(90.0)
@@ -358,10 +359,8 @@ def vectorize_threshold(
     dr = res - tile_res
     side = 1 << dr
     size = cell_size_deg(res)
-    tix = F.floor(F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) / F.lit(_IX_SHIFT)).cast("long")
-    tiy = (F.pmod(F.col("tile_id"), F.lit(_R_SHIFT)) - tix * F.lit(_IX_SHIFT)).cast("long")
-    ix = tix * F.lit(side) + F.col("px_col")
-    iy = tiy * F.lit(side) + F.col("px_row")
+    ix = _ix(F.col("tile_id")) * F.lit(side) + F.col("px_col")
+    iy = _iy(F.col("tile_id")) * F.lit(side) + F.col("px_row")
     cell = (
         F.lit(res).cast("long") * F.lit(_R_SHIFT)
         + ix.cast("long") * F.lit(_IX_SHIFT)

@@ -97,3 +97,74 @@ def test_registry_quantize_entry_has_no_complex_columns(spark):
     assert df.columns == ["vec_id", "scale", "q_str", "max_abs_err"]
     for f in df.schema.fields:
         assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), f
+
+
+# --- CC convergence contracts (r4 ADVICE dedup.py:479) -------------------------
+
+def _chain_pairs(spark, n=12):
+    rows = [(i, i + 1) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_star_cc_raises_on_non_convergence(spark):
+    """Exiting the star loop via max_iter leaves non-star edges; the
+    labeling would emit conflicting (node,label) rows — must raise, not
+    silently return duplicate doc_id rows."""
+    from socialmapper_spark.operators.dedup import dedup_groups
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_groups(_chain_pairs(spark), method="star", max_iter=1).collect()
+
+
+def test_hashmin_cc_warns_on_non_convergence(spark):
+    """hash-min's max_iter exit keeps one row per node but may split a
+    long-chain component; the contract is a RuntimeWarning."""
+    from socialmapper_spark.operators.dedup import dedup_groups
+
+    with pytest.warns(RuntimeWarning, match="still changing"):
+        out = dedup_groups(_chain_pairs(spark, n=20), max_iter=2).collect()
+    # still exactly one row per node even when warned
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) == 21
+
+
+def test_star_cc_converged_chain_matches_hashmin(spark):
+    """With enough rounds both methods agree exactly on a path graph."""
+    from socialmapper_spark.operators.dedup import dedup_groups
+
+    a = sorted(
+        (r["doc_id"], r["group_id"], r["is_canonical"])
+        for r in dedup_groups(_chain_pairs(spark), method="star").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["group_id"], r["is_canonical"])
+        for r in dedup_groups(_chain_pairs(spark), method="hashmin").collect()
+    )
+    assert a == b and a[0] == (0, 0, True)
+
+
+# --- exact integer cell/tile decode (r4 ADVICE raster.py:108) ------------------
+
+def test_raster_decode_exact_at_high_res(spark):
+    """res ≥ 17 puts the in-resolution remainder past 2^53, where the old
+    double-division decode could misfloor; the shiftright/pmod decode must
+    be bit-exact against Python integer arithmetic at MAX_RES."""
+    from socialmapper_spark.geo.cells import _IX_SHIFT, _R_SHIFT
+    from socialmapper_spark.operators.raster import _ix, _iy
+
+    res = 22
+    nx = 1 << (res + 7)
+    # adversarial indices: max ix, ix patterns ending in all-ones/zeros,
+    # plus a dense band near the top of the x range
+    ixs = [nx - 1, nx - 2, (1 << 28) - 1, (1 << 28), 123456789, 0, 1]
+    iys = [(1 << 28) - 1, 7, 0, 268435455, 99999999, 1, 2]
+    rows = [
+        (int(res * _R_SHIFT + ix * _IX_SHIFT + iy), ix, iy)
+        for ix, iy in zip(ixs, iys)
+    ]
+    df = spark.createDataFrame(rows, "cell long, ix long, iy long")
+    got = df.select(
+        "ix", "iy", _ix(F.col("cell")).alias("gx"), _iy(F.col("cell")).alias("gy")
+    ).collect()
+    for r in got:
+        assert r["gx"] == r["ix"] and r["gy"] == r["iy"], dict(r.asDict())
