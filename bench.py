@@ -31,6 +31,22 @@ def timed(fn, *args):
     return time.perf_counter() - t0, n
 
 
+def checksum_all(df) -> int:
+    """Force-evaluate EVERY output column (sum of xxhash64 over the full
+    row), returning the row count. count() is the wrong sink for a
+    non-filtering plan: Catalyst column-prunes everything the count does
+    not need, so a reason-emitting funnel degenerates to a scan of its
+    join keys and the bench times the pruned plan, not the operator."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count("*").alias("n"),
+        # bit_xor, not sum: ANSI mode makes sum of 64-bit hashes overflow
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -92,13 +108,18 @@ def main() -> None:
         ("winnow", lambda: winnow_fingerprints(docs).count()),
         # the composed 5-stage crawl-curation pipeline (snapshot dedup →
         # gate → blocklist → host cap → canonical key) — what a real
-        # training-data pipeline runs end to end
-        ("crawl_curation", lambda: entrymod.q_crawl_curation(spark, sf_dir).count()),
+        # training-data pipeline runs end to end. checksum sink: count()
+        # would column-prune the final canonical-key projection
+        ("crawl_curation", lambda: checksum_all(entrymod.q_crawl_curation(spark, sf_dir))),
         # document-side curation funnel (language → quality → repetition →
         # decontaminate → sample → scrub) — scan-side gates, one join.
         # Threads the repartitioned docs frame in (the fixture is a single
-        # row group; an internal re-read would time ~1 core, r4 ADVICE)
-        ("corpus_curation", lambda: entrymod.corpus_curation_frame(docs).count()),
+        # row group; an internal re-read would time ~1 core, r4 ADVICE).
+        # checksum sink is LOAD-BEARING here: the funnel filters nothing
+        # (it emits per-doc reasons), so under count() Catalyst prunes
+        # EVERY text expression and the scan reads only doc_id — the r4
+        # 0.97 s "corpus_curation" number was a join of ids (r5 fix)
+        ("corpus_curation", lambda: checksum_all(entrymod.corpus_curation_frame(docs))),
         # raster smoothing (3×3 focal over the r9 pixel grid)
         ("focal_stats", lambda: entrymod.q_focal_stats(spark, sf_dir).count()),
     ]
@@ -110,7 +131,26 @@ def main() -> None:
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     queries: dict[str, float] = {name: float("inf") for name, _ in bench_queries}
     counts: dict[str, int | None] = {}
+
+    # in-window calibration kernel (r4 VERDICT task 6): a ~2 s pure-JVM
+    # md5+xxhash fold over spark.range — the same kernel shape the scaling
+    # scripts calibrate against. Its best time rides along in the output
+    # JSON as kernel_sec, so any cross-round "regression" can be
+    # normalized against the host window it was measured in (the r3→r4
+    # driver flagship delta was 1.34× pure host noise).
+    kernel_rows = int(os.environ.get("SPARK_GRAFT_KERNEL_ROWS", "20000000"))
+    kernel_df = spark.range(0, kernel_rows, 1, numPartitions=cpus * 4)
+    kernel_df.count()  # materialize range outside the timed window
+
+    def kernel():
+        kernel_df.select(
+            F.avg(F.xxhash64(F.md5(F.col("id").cast("string"))))
+        ).collect()
+
+    kernel_sec = float("inf")
     for _ in range(rounds):
+        t, _n = timed(kernel)
+        kernel_sec = min(kernel_sec, round(t, 3))
         for name, fn in bench_queries:
             t, n = timed(fn)
             # queries that persist() intermediates leave CacheManager
@@ -135,6 +175,8 @@ def main() -> None:
         "geoparse_pages_per_sec": round(n_pages / queries["geoparse"], 1),
         "winnow_docs_per_sec": round(n_docs / queries["winnow"], 1),
         "curation_raw_pages_per_sec": round(n_crawl / queries["crawl_curation"], 1),
+        "kernel_sec": kernel_sec,
+        "kernel_rows": kernel_rows,
     }
     spark.stop()
     print(json.dumps(result))

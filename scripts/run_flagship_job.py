@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument(
+        "--chunk-buckets", type=int, default=None,
+        help="commit granularity: buckets per lineage commit (bounds the "
+        "recompute window a crash can lose; default = whole stage)",
+    )
     args = ap.parse_args()
 
     from socialmapper_spark.fixtures import geo_dir_for
@@ -69,6 +74,7 @@ def main() -> None:
     n_done = run_stage_with_lineage(
         spark, assigns, "assign", "url", ["url", "poly_id"],
         assign_path, lineage_path, n_buckets=args.n_buckets, cell_col="cell_r9",
+        chunk_size=args.chunk_buckets,
     )
     ok = verify_lineage(
         spark, assign_path, lineage_path, "assign", ["url", "poly_id"], "cell_r9"

@@ -113,6 +113,8 @@ def run_stage_with_lineage(
     lineage_path: str,
     n_buckets: int = 32,
     cell_col: str | None = None,
+    chunk_size: int | None = None,
+    fail_after_chunks: int | None = None,
 ) -> int:
     """Execute a stage resumably.
 
@@ -124,31 +126,58 @@ def run_stage_with_lineage(
        the data lands)
     4. append per-bucket lineage rows
 
+    ``chunk_size`` sets the COMMIT GRANULARITY: with it, pending buckets
+    land and their lineage rows commit in chunks of that many buckets,
+    so a mid-job crash loses at most one in-flight chunk instead of the
+    whole stage — the recompute window a 1000-executor job wants bounded.
+    The bucketed frame is persisted for the chunk loop (one upstream
+    pass, each chunk reads the cache) and released before returning.
+    ``fail_after_chunks`` is the failure-injection hook for resume
+    drills/tests: raises after that many chunks have committed.
+
     Returns the number of buckets processed this run (0 = fully resumed).
     """
     bucketed = with_bucket(df, key_col, n_buckets)
     done = completed_buckets(spark, lineage_path, stage)
     todo = bucketed.join(done, "bucket", "left_anti")
+    if chunk_size:
+        todo = todo.persist()
 
-    # short-circuit: nothing to do
-    pending = todo.select("bucket").distinct().collect()
-    if not pending:
-        return 0
+    try:
+        # short-circuit: nothing to do
+        pending = todo.select("bucket").distinct().collect()
+        if not pending:
+            return 0
 
-    pending_ids = sorted(r["bucket"] for r in pending)
-    (
-        todo.write.mode("overwrite")
-        .partitionBy("bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(out_path)
-    )
-
-    # recompute stats from the data as written (what landed is what is
-    # certified, not what we intended to write)
-    written = spark.read.parquet(out_path).filter(F.col("bucket").isin(pending_ids))
-    stats = bucket_stats(written, stage, checksum_cols, cell_col)
-    stats.write.mode("append").parquet(lineage_path)
-    return len(pending_ids)
+        pending_ids = sorted(r["bucket"] for r in pending)
+        step = chunk_size or len(pending_ids)
+        chunks = [
+            pending_ids[i : i + step] for i in range(0, len(pending_ids), step)
+        ]
+        for ci, chunk in enumerate(chunks):
+            if fail_after_chunks is not None and ci >= fail_after_chunks:
+                raise RuntimeError(
+                    f"injected failure after {ci} committed chunks "
+                    f"({ci * step} buckets)"
+                )
+            part = todo.filter(F.col("bucket").isin(chunk))
+            (
+                part.write.mode("overwrite")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out_path)
+            )
+            # recompute stats from the data as written (what landed is
+            # what is certified, not what we intended to write)
+            written = spark.read.parquet(out_path).filter(
+                F.col("bucket").isin(chunk)
+            )
+            stats = bucket_stats(written, stage, checksum_cols, cell_col)
+            stats.write.mode("append").parquet(lineage_path)
+        return len(pending_ids)
+    finally:
+        if chunk_size:
+            todo.unpersist()
 
 
 def verify_lineage(

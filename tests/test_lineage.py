@@ -101,3 +101,37 @@ def test_checksum_partition_invariance(spark, workdir):
     kb = {(r["bucket"], r["row_count"], r["checksum"], r["cell_min"], r["cell_max"])
           for r in b.collect()}
     assert ka == kb
+
+
+def test_chunked_commit_resume_skips_committed_buckets(spark, tmp_path):
+    """r5: chunked commit granularity — a crash after k committed chunks
+    loses only the in-flight chunk; the rerun recomputes exactly the
+    never-committed buckets (lineage anti-join), and verify passes."""
+    import pytest
+
+    from socialmapper_spark.lineage import run_stage_with_lineage, verify_lineage
+
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("url"), (F.col("id") % 7).alias("poly_id")
+    )
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stage_with_lineage(
+            spark, df, "assign", "url", ["url", "poly_id"], out, lin,
+            n_buckets=16, chunk_size=4, fail_after_chunks=2,
+        )
+    import duckdb
+
+    committed = duckdb.sql(
+        f"select count(distinct bucket) from read_parquet('{lin}/*.parquet') "
+        f"where status='committed'"
+    ).fetchone()[0]
+    assert committed == 8
+    n = run_stage_with_lineage(
+        spark, df, "assign", "url", ["url", "poly_id"], out, lin,
+        n_buckets=16, chunk_size=4,
+    )
+    assert n == 8  # only the never-committed half recomputed
+    assert verify_lineage(spark, out, lin, "assign", ["url", "poly_id"])
+    # the checkpointed table is complete and exact
+    assert spark.read.parquet(out).count() == 2000
