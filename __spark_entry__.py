@@ -1460,77 +1460,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (CORRECTNESS_LOCAL_r{{N}}.txt), so rotation only changes WHICH rows
     the driver re-proves, never what is verified."""
     return {
-        # flagship core (permanent in-gate slots — headline semantics;
-        # geoparse back in-gate per r3 ADVICE after its r3 rotation)
+        # flagship core (permanent in-gate slots — headline semantics)
         "pip_assignments": q_pip_assignments,
         "knn_nearest": q_knn_nearest,
         "knn_kring": q_knn_kring,
         "flagship_demographics": q_flagship,
         "geoparse": q_geoparse,
-        # never-driver-checked entries (r3 VERDICT task #3)
-        "crawl_curation": q_crawl_curation,
-        "corpus_curation": q_corpus_curation,
-        "host_top_terms": q_host_top_terms,
-        "admission_gate_stream": q_admission_gate_stream,
-        # round-4 changed plans / new variants (re-verify in-gate)
-        "winnow_fingerprints": q_winnow,
-        "winnow_pairs": q_winnow_pairs,
-        "dedup_spans": q_dedup_spans,
-        "dedup_groups": q_dedup_groups,
-        "dedup_groups_star": q_dedup_groups_star,
-        "pii_scrub": q_pii_scrub,
-        "snapshot_dedup": q_snapshot_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_verified": q_jaccard_verified,
-        "embedding_dup": q_embedding_dup,
+        # never-driver-green entries (rotation rule 3): the r4 red row's
+        # fix and the newly-oracled stream projection — both must prove
         "embedding_quantize": q_embedding_quantize,
-        # crawl-curation surface (r3-new, one driver row so far)
-        "host_stats": q_host_stats,
-        "host_daily": q_host_daily,
-        "host_daily_stream": q_host_daily_stream,
-        "crawl_enrich_stream": q_crawl_enrich_stream,
-        "html_extract": q_html_extract,
-        "url_canonical": q_url_canonical,
-        "admission_gate": q_admission_gate,
-        "blocklist": q_blocklist,
-        "repetition_stats": q_repetition_stats,
-        "host_cap": q_host_cap,
-        "host_cap_bucketed": q_host_cap_bucketed,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "language_id": q_language_id,
-        # one-driver-row r3 entries keeping their slot one more round
-        "lsh_ann_many": q_lsh_ann_many,
-        "ivf_ann_many": q_ivf_ann_many,
-        "lineage_stats": q_lineage_stats,
+        "snapshot_dedup_stream": q_snapshot_dedup_stream,
+        # r5-changed plans (rotation rule 2): exact-integer raster decode,
+        # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
-        "vectorize_hotspots": q_vectorize_hotspots,
         "focal_stats": q_focal_stats,
         "downsample": q_downsample,
         "zonal_stats": q_zonal_stats,
         "polygon_burn": q_polygon_burn,
-        "frame_sample": q_frame_sample,
-        "geoid_build": q_geoid_build,
-        # r2/r3-green entries filling the remaining gate slots
-        # (oldest driver row first)
-        "zcta_prefix": q_zcta_prefix,
-        "zcta_assignments": q_zcta_assignments,
-        "zcta_cleanse": q_zcta_cleanse,
-        "variable_summary": q_variable_summary,
-        # --- 50-row driver gate ends here; below: multiply-verified
-        # entries (driver-green in ≥2 rounds) still checked by the local
-        # oracle replica every round ---
+        "vectorize_hotspots": q_vectorize_hotspots,
+        "lineage_stats": q_lineage_stats,
+        "dedup_groups": q_dedup_groups,
+        "dedup_groups_star": q_dedup_groups_star,
+        "corpus_curation": q_corpus_curation,
+        # entries with exactly one driver-green round (rotation rule 3)
+        "crawl_curation": q_crawl_curation,
+        "host_top_terms": q_host_top_terms,
+        "admission_gate_stream": q_admission_gate_stream,
+        "winnow_pairs": q_winnow_pairs,
+        "crawl_enrich_stream": q_crawl_enrich_stream,
+        "host_cap_bucketed": q_host_cap_bucketed,
         "tag_filter": q_tag_filter,
         "speed_clamp": q_speed_clamp,
         "geometry_quarantine": q_geometry_quarantine,
         "neighbor_states": q_neighbor_states,
         "poi_bbox": q_poi_bbox,
         "cluster_bbox": q_cluster_bbox,
-        "centroid_nearest_poi": q_centroid_nearest_poi,
         "cosine_topk_many": q_cosine_topk_many,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
         "std_mean_bins": q_std_mean_bins,
         "percentile_bins": q_percentile_bins,
         "box_plot_bins": q_box_plot_bins,
@@ -1541,13 +1506,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_breaks_bins": q_natural_breaks_bins,
         "jenks_caspall_bins": q_jenks_caspall_bins,
         "max_p_bins": q_max_p_bins,
+        "event_sessions": q_event_sessions,
+        "event_sessions_stream": q_event_sessions_stream,
+        "revenue_by_nation": q_revenue_by_nation,
+        "monthly_orders": q_monthly_orders,
+        # remaining slots: oldest driver row first (rotation rule 4)
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "simhash": q_simhash,
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
-        "event_sessions": q_event_sessions,
-        "event_sessions_stream": q_event_sessions_stream,
-        "snapshot_dedup_stream": q_snapshot_dedup_stream,
+        # --- 50-row driver gate ends here; below: multiply-verified
+        # entries (driver-green in >=2 rounds, implementation unchanged)
+        # still checked by the local oracle replica every round ---
+        "winnow_fingerprints": q_winnow,
+        "dedup_spans": q_dedup_spans,
+        "pii_scrub": q_pii_scrub,
+        "snapshot_dedup": q_snapshot_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_verified": q_jaccard_verified,
+        "embedding_dup": q_embedding_dup,
+        "host_stats": q_host_stats,
+        "host_daily": q_host_daily,
+        "host_daily_stream": q_host_daily_stream,
+        "html_extract": q_html_extract,
+        "url_canonical": q_url_canonical,
+        "admission_gate": q_admission_gate,
+        "blocklist": q_blocklist,
+        "repetition_stats": q_repetition_stats,
+        "host_cap": q_host_cap,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "language_id": q_language_id,
+        "lsh_ann_many": q_lsh_ann_many,
+        "ivf_ann_many": q_ivf_ann_many,
+        "frame_sample": q_frame_sample,
+        "geoid_build": q_geoid_build,
+        "zcta_prefix": q_zcta_prefix,
+        "zcta_assignments": q_zcta_assignments,
+        "zcta_cleanse": q_zcta_cleanse,
+        "variable_summary": q_variable_summary,
+        "centroid_nearest_poi": q_centroid_nearest_poi,
         "demographic_summary": q_demographic_summary,
         "quantile_bins": q_quantile_bins,
         "census_pivot": q_census_pivot,
@@ -1559,8 +1560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coordinate_quarantine": q_coordinate_quarantine,
         "pricing_summary": q_pricing_summary,
         "market_join": q_market_join,
-        "revenue_by_nation": q_revenue_by_nation,
-        "monthly_orders": q_monthly_orders,
         "top_customers": q_top_customers,
         "deterministic_sample": q_deterministic_sample,
         "semi_join": q_semi_join,
