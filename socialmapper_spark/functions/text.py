@@ -189,8 +189,10 @@ def repetition_cols(text: Column) -> dict[str, Column]:
     (1 − distinct/total; 0.0 when the doc has too few words to form the
     gram). High values mark boilerplate and degenerate generations.
 
-    Pure Catalyst: n-grams are built from a 1-based index sequence
-    (element_at stays in bounds by construction — ANSI-safe), distinct
+    Pure Catalyst: n-grams are built by slice + array_join over a 1-based
+    index sequence (in bounds by construction — ANSI-safe; one intrinsic
+    per gram instead of width× bound-checked element_at probes, the same
+    4× win measured on decontaminate's word_ngrams_col), distinct
     counting is array_distinct, everything stays in whole-stage codegen.
     The DuckDB twin uses the same integer sizes, so the double division
     is bit-identical across engines.
@@ -200,11 +202,13 @@ def repetition_cols(text: Column) -> dict[str, Column]:
 
     def gram_dup_ratio(width: int) -> Column:
         cnt = n - (width - 1)
-        grams = F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(width)]
-            ),
+        grams = (
+            words
+            if width == 1
+            else F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(words, i, width), " "),
+            )
         )
         return F.when(
             cnt >= 1,
