@@ -25,7 +25,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-sys.path.insert(0, "/root/repo")
+try:  # provided by `--py-files engine.zip` under spark-submit
+    import socialmapper_spark  # noqa: F401
+except ImportError:  # bare `python scripts/run_flagship_job.py` local smoke
+    sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
