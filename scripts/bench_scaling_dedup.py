@@ -35,7 +35,7 @@ from bench_scaling import (  # noqa: E402
     run_json,
 )
 
-REPLICATE = int(os.environ.get("SCALING_DEDUP_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("SCALING_DEDUP_REPLICATE", "16"))
 
 # Pure-JVM shuffle kernel shaped like the dedup pipeline's dominant
 # exchanges: string-keyed hash agg, ~n/8 key cardinality, ~300-byte
@@ -129,8 +129,10 @@ def main() -> None:
             "(minhash 16-perm signatures -> 4-band LSH banding groupBy -> "
             "capped bucket pair join -> exact shingle-Jaccard verify join "
             "-> hash-min connected components) at local[8] vs local[32] on "
-            "the 8x replicated documents fixture (copies are ~0.95-Jaccard "
-            "near-dups, so pair volume scales R^2). TWO same-window "
+            "the 16x replicated documents fixture (copies are ~0.95-Jaccard "
+            "near-dups, so pair volume scales R^2; the 16x size amortizes "
+            "the CC rounds' fixed per-iteration latency that capped the "
+            "earlier 8x run at raw 0.337). TWO same-window "
             "pure-JVM ceilings: the CPU kernel bounds the scan stages, the "
             "shuffle kernel (string-keyed hash agg, 300-byte payload) "
             "bounds the exchanges. A raw efficiency at-or-above the "

@@ -71,7 +71,7 @@ def ensure_fixture(spark, replicate: int) -> str:
 
 def main() -> None:
     cores = int(sys.argv[1])
-    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     spark = get_spark(
         app_name=f"scaling-dedup-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(2 * cores, 16),
