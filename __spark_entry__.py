@@ -337,6 +337,24 @@ def q_unit_centroids(spark, sf_dir):
     return out.select("GEOID", "lat", "lon")
 
 
+def q_salted_cell_counts(spark, sf_dir):
+    """Skew tools in-registry: exact per-cell page counts via two-phase
+    salted aggregation (operators/skew.py salted_count_by_key, 32 salts
+    keyed off the row-unique url) over the geoparsed pages' r7 cells.
+    Must equal a plain GROUP BY — the DuckDB twin — which makes the
+    salt-invariance contract driver-checkable, not just pytest-pinned.
+    (Reference analog: socialmapper counts POIs per geography; here the
+    hot-cell-safe strategy the 100 TB design uses is the thing under
+    oracle.)"""
+    from socialmapper_spark.operators.skew import salted_count_by_key
+    from socialmapper_spark.pipeline import geoparse_pages
+
+    geop = geoparse_pages(_read_geo(spark, sf_dir, "pages")).filter(
+        F.col("cell_r7").isNotNull()
+    )
+    return salted_count_by_key(geop, "cell_r7", n_salts=32, salt_src="url")
+
+
 def q_centroid_nearest_poi(spark, sf_dir):
     """J3 (the reference's actual shape): distance from each block-group
     CENTROID to its nearest POI, min Euclidean km in EPSG:5070."""
@@ -1578,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_broadcast": q_poi_broadcast,
         "event_props": q_event_props,
         "unit_centroids": q_unit_centroids,
+        "salted_cell_counts": q_salted_cell_counts,
     }
 
 
@@ -2629,6 +2648,14 @@ def oracle_sql() -> dict[str, str]:
         "event_windows_stream": _EVENT_WINDOWS_SQL,
         "event_sessions_stream": _EVENT_SESSIONS_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
+        # salted two-phase agg must be indistinguishable from a plain
+        # GROUP BY — the oracle IS the unsalted query
+        "salted_cell_counts": f"""
+            select {_CELL_SQL_R7} as cell_r7, count(*) as n_rows
+            from read_parquet('{g}/golden_geoparsed.parquet')
+            where lat is not null
+            group by 1
+        """,
     }
 
 
