@@ -1460,6 +1460,73 @@ def q_snapshot_dedup_stream(spark, sf_dir):
     return out.select("url")
 
 
+def q_asof_join(spark, sf_dir):
+    """Temporal as-of join (extension surface — the reference pipeline is a
+    single batch snapshot with no temporal axis): every event picks the
+    most recent purchase-snapshot for its user (``snap_ts <= ts``,
+    inclusive, standard ASOF semantics — the DuckDB oracle runs a native
+    ``ASOF LEFT JOIN``). Scale path: snapshot-array dimension + a
+    higher-order-function probe, so per-key cost is bounded by snapshot
+    cadence, never left-side cardinality (operators/temporal.py docstring).
+
+    Timestamps are projected as unix micros: both engines read the same
+    parquet int64, so the cross-engine hash is exact."""
+    from socialmapper_spark.operators.temporal import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    snaps = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        snaps,
+        on="user_id",
+        left_ts="ts",
+        right_ts="snap_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("snap_ts").cast("timestamp")).alias("snap_us"),
+        "snap_value",
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """Temporal interval-containment join (extension surface): events
+    attributed to 45-minute campaign windows of the same event_type
+    (start inclusive, end exclusive). The naive range theta-join lowers
+    to BroadcastNestedLoopJoin; this operator buckets time so Catalyst
+    gets an equi-join key (operators/temporal.py docstring — plan
+    asserted NestedLoop-free in tests/test_temporal.py)."""
+    from socialmapper_spark.operators.temporal import interval_join
+
+    events = _read(spark, sf_dir, "events")
+    ivals = events.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+    )
+    out = interval_join(
+        events.select("event_id", "event_type", "ts"),
+        ivals,
+        point_ts="ts",
+        on=["event_type"],
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "interval_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate evaluates the
     FIRST 50 entries only, so the newest / this-round-changed operators sit
@@ -1488,6 +1555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fix and the newly-oracled stream projection — both must prove
         "embedding_quantize": q_embedding_quantize,
         "snapshot_dedup_stream": q_snapshot_dedup_stream,
+        # r5-new temporal joins (rotation rule 3: no driver row yet)
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
         # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
@@ -1656,6 +1726,28 @@ def oracle_sql() -> dict[str, str]:
         from ({cleansed}) group by geoid
     """
     return {
+        "asof_join": """
+            with snaps as (
+              select user_id, ts as snap_ts, max(value) as snap_value
+              from events where event_type = 'purchase' group by 1, 2
+            )
+            select e.event_id, e.user_id, epoch_us(e.ts) as ts_us,
+                   epoch_us(s.snap_ts) as snap_us, s.snap_value
+            from events e asof left join snaps s
+              on e.user_id = s.user_id and e.ts >= s.snap_ts
+        """,
+        "interval_join": """
+            with ivals as (
+              select event_id as interval_id, event_type, ts as start_ts,
+                     ts + interval 45 minute as end_ts
+              from events where event_id % 100 = 0
+            )
+            select e.event_id, i.interval_id, e.event_type,
+                   epoch_us(e.ts) as ts_us, epoch_us(i.start_ts) as start_us
+            from events e join ivals i
+              on e.event_type = i.event_type
+             and e.ts >= i.start_ts and e.ts < i.end_ts
+        """,
         "geoparse": f"""
             select url, lat, lon,
                    coalesce(array_to_string(mentions, '|'), '') as mentions_str,

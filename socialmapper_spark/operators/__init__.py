@@ -48,3 +48,7 @@ from socialmapper_spark.operators.multimodal import (  # noqa: F401
     binary_metadata,
     frame_sample,
 )
+from socialmapper_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    interval_join,
+)

@@ -15,7 +15,14 @@ def spark():
 
 @pytest.fixture(scope="session")
 def geo_small():
-    """Small-scale geospatial fixture dir (generated on demand, seed 42)."""
-    from socialmapper_spark.fixtures import geo_dir_for
+    """Small-scale geospatial fixture dir (generated on demand, seed 42).
 
-    return str(geo_dir_for("sf0.001"))
+    Ensures the extras goldens too: the goldens-vs-engine tests
+    (test_round4_ops zonal/burn/classify) read golden_* files that only
+    ensure_geo_extras writes, and a fresh checkout (or a regenerated
+    fixture dir) otherwise only has the main `.v*` marker's files."""
+    from socialmapper_spark.fixtures import ensure_geo_extras, geo_dir_for
+
+    d = str(geo_dir_for("sf0.001"))
+    ensure_geo_extras("sf0.001")
+    return d

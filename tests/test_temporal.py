@@ -1,0 +1,194 @@
+"""Temporal joins (operators/temporal.py): as-of and interval containment.
+
+Strategy mirrors SURVEY.md §5: the scale-path implementation is checked
+against (a) hand-computed rows, (b) the independent classic spelling
+(union+window for as-of, nested-loop theta-join for interval), and
+(c) a physical-plan assertion that the interval join is an equi-join,
+not the O(n*m) BroadcastNestedLoopJoin the naive range predicate yields.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from socialmapper_spark.operators.temporal import asof_join, interval_join
+
+TS = dt.datetime
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [
+            Row(k="a", ts=TS(2024, 1, 1, 10, 0), ev=1),
+            Row(k="a", ts=TS(2024, 1, 1, 12, 0), ev=2),
+            Row(k="a", ts=TS(2024, 1, 2, 9, 0), ev=3),
+            Row(k="b", ts=TS(2024, 1, 1, 11, 0), ev=4),  # no snapshot yet
+            Row(k="b", ts=TS(2024, 1, 3, 11, 0), ev=5),
+            Row(k="c", ts=TS(2024, 1, 2, 0, 0), ev=6),  # key absent on right
+        ]
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            Row(k="a", snap_ts=TS(2024, 1, 1, 9, 0), v=10.0),
+            Row(k="a", snap_ts=TS(2024, 1, 1, 12, 0), v=20.0),  # tie with ev=2
+            Row(k="a", snap_ts=TS(2024, 1, 2, 8, 0), v=30.0),
+            Row(k="b", snap_ts=TS(2024, 1, 2, 0, 0), v=40.0),
+        ]
+    )
+
+
+def _rows(df):
+    return sorted(
+        df.select("ev", "v").collect(), key=lambda r: r.ev
+    )
+
+
+def test_asof_compact_hand_checked(spark):
+    out = asof_join(_left(spark), _right(spark), on="k", left_ts="ts")
+    got = {r.ev: (r.v, r.snap_ts) for r in out.collect()}
+    assert got[1] == (10.0, TS(2024, 1, 1, 9, 0))
+    # inclusive: snapshot at exactly left_ts wins
+    assert got[2] == (20.0, TS(2024, 1, 1, 12, 0))
+    assert got[3] == (30.0, TS(2024, 1, 2, 8, 0))
+    # no snapshot precedes -> nulls, row still present (left join)
+    assert got[4] == (None, None)
+    assert got[5] == (40.0, TS(2024, 1, 2, 0, 0))
+    assert got[6] == (None, None)
+    assert out.count() == 6
+
+
+def test_asof_union_strategy_identical(spark):
+    a = asof_join(_left(spark), _right(spark), on="k", left_ts="ts")
+    b = asof_join(
+        _left(spark), _right(spark), on="k", left_ts="ts", strategy="union"
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_asof_strategies_agree_on_fixture(spark):
+    """Cross-check compact vs union on a 2k-row deterministic frame with
+    hot keys, duplicate timestamps, and keys missing on either side."""
+    left = spark.range(2000).select(
+        (F.col("id") % 13).alias("k"),
+        F.timestamp_seconds(1700000000 + (F.col("id") * 7919) % 86400).alias("ts"),
+        F.col("id").alias("ev"),
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 17).alias("k"),
+        F.timestamp_seconds(1700000000 + (F.col("id") * 104729) % 86400).alias(
+            "snap_ts"
+        ),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    a = asof_join(left, right, on="k", left_ts="ts")
+    b = asof_join(left, right, on="k", left_ts="ts", strategy="union")
+    cols = sorted(a.columns)
+    assert a.count() == 2000
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_asof_multi_key(spark):
+    left = spark.createDataFrame(
+        [Row(k1="a", k2=1, ts=TS(2024, 1, 2), ev=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k1="a", k2=1, snap_ts=TS(2024, 1, 1), v=1.0),
+            Row(k1="a", k2=2, snap_ts=TS(2024, 1, 1, 12), v=2.0),
+        ]
+    )
+    out = asof_join(left, right, on=["k1", "k2"], left_ts="ts").collect()
+    assert len(out) == 1 and out[0].v == 1.0
+
+
+def test_asof_bad_strategy(spark):
+    with pytest.raises(ValueError, match="strategy"):
+        asof_join(_left(spark), _right(spark), on="k", strategy="nope")
+
+
+def _points(spark):
+    return spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 311).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+
+
+def _intervals(spark):
+    # widths from 1 s to ~8 h: some spill across many 1-h buckets
+    return spark.range(40).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 3600).alias("start_ts"),
+        F.timestamp_seconds(
+            1700000000 + F.col("id") * 3600 + 1 + (F.col("id") * F.col("id")) % 28800
+        ).alias("end_ts"),
+    )
+
+
+def _naive(points, intervals, keys):
+    cond = [points[k] == intervals[k] for k in keys] + [
+        points["ts"] >= intervals["start_ts"],
+        points["ts"] < intervals["end_ts"],
+    ]
+    joined = points.join(intervals, cond, "inner")
+    return joined.select(
+        *[points[c] for c in points.columns],
+        *[intervals[c] for c in intervals.columns if c not in keys],
+    )
+
+
+def test_interval_join_matches_naive(spark):
+    pts, ivs = _points(spark), _intervals(spark)
+    got = interval_join(pts, ivs, on=["g"], bucket_seconds=3600)
+    want = _naive(pts, ivs, ["g"])
+    cols = sorted(got.columns)
+    assert sorted(got.columns) == sorted(want.columns)
+    g = sorted(map(tuple, got.select(cols).collect()))
+    w = sorted(map(tuple, want.select(cols).collect()))
+    assert g == w and len(g) > 0
+
+
+def test_interval_join_keyless_and_small_buckets(spark):
+    """No key columns + a bucket far smaller than the intervals (max
+    replication path); still exact and emitted exactly once per pair."""
+    pts, ivs = _points(spark).drop("g"), _intervals(spark).drop("g")
+    got = interval_join(pts, ivs, bucket_seconds=60)
+    want = _naive(pts, ivs, [])
+    cols = sorted(got.columns)
+    g = sorted(map(tuple, got.select(cols).collect()))
+    w = sorted(map(tuple, want.select(cols).collect()))
+    assert g == w and len(g) > 0
+
+
+def test_interval_join_end_exclusive(spark):
+    pts = spark.createDataFrame(
+        [Row(ts=TS(2024, 1, 1, 1, 0), pid=1), Row(ts=TS(2024, 1, 1, 0, 0), pid=2)]
+    )
+    ivs = spark.createDataFrame(
+        [Row(iid=7, start_ts=TS(2024, 1, 1, 0, 0), end_ts=TS(2024, 1, 1, 1, 0))]
+    )
+    out = interval_join(pts, ivs).collect()
+    # start inclusive, end exclusive
+    assert [r.pid for r in out] == [2]
+
+
+def test_interval_join_is_equi_join(spark):
+    """The physical plan must hash on the bucket key — never the
+    BroadcastNestedLoopJoin a plain range theta-join lowers to."""
+    plan = interval_join(
+        _points(spark), _intervals(spark), on=["g"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
