@@ -1471,9 +1471,16 @@ def q_asof_join(spark, sf_dir):
 
     Timestamps are projected as unix micros: both engines read the same
     parquet int64, so the cross-engine hash is exact."""
+    return asof_join_frame(_read(spark, sf_dir, "events"))
+
+
+def asof_join_frame(events: DataFrame) -> DataFrame:
+    """asof_join over a caller-provided events frame — split out so
+    bench.py can thread a repartitioned frame in (events.parquet ships as
+    ONE row group, Spark's minimum split unit; without the repartition a
+    bench times a single core — the r4 documents-side lesson)."""
     from socialmapper_spark.operators.temporal import asof_join
 
-    events = _read(spark, sf_dir, "events")
     snaps = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.col("ts").alias("snap_ts"))
@@ -1502,9 +1509,14 @@ def q_interval_join(spark, sf_dir):
     to BroadcastNestedLoopJoin; this operator buckets time so Catalyst
     gets an equi-join key (operators/temporal.py docstring — plan
     asserted NestedLoop-free in tests/test_temporal.py)."""
+    return interval_join_frame(_read(spark, sf_dir, "events"))
+
+
+def interval_join_frame(events: DataFrame) -> DataFrame:
+    """interval_join over a caller-provided events frame (see
+    asof_join_frame for why the frame is threaded in)."""
     from socialmapper_spark.operators.temporal import interval_join
 
-    events = _read(spark, sf_dir, "events")
     ivals = events.filter(F.col("event_id") % 100 == 0).select(
         F.col("event_id").alias("interval_id"),
         "event_type",

@@ -84,6 +84,8 @@ def main() -> None:
     # have, at the cost of one tiny counted shuffle outside the hot loop.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
     n_docs = docs.count()
+    events_rp = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus)
+    events_rp.count()
     crawl_dir = str(ensure_crawl_fixture(sf_dir))
     n_crawl = spark.read.parquet(f"{crawl_dir}/crawl_pages.parquet").count()
 
@@ -122,6 +124,13 @@ def main() -> None:
         ("corpus_curation", lambda: checksum_all(entrymod.corpus_curation_frame(docs))),
         # raster smoothing (3×3 focal over the r9 pixel grid)
         ("focal_stats", lambda: entrymod.q_focal_stats(spark, sf_dir).count()),
+        # temporal joins (r5): every event as-of joined to its user's
+        # latest purchase snapshot + 45-min interval attribution. The
+        # events frame is threaded in repartitioned (one-row-group file,
+        # like documents above). checksum sinks: both emit non-filtering
+        # projections, so count() would prune the probe/containment math
+        ("asof_join", lambda: checksum_all(entrymod.asof_join_frame(events_rp))),
+        ("interval_join", lambda: checksum_all(entrymod.interval_join_frame(events_rp))),
     ]
 
     # interleaved best-of-N: the sandbox host has 2-3x run-to-run noise, so

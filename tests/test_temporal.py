@@ -42,6 +42,25 @@ def _right(spark):
     )
 
 
+def test_asof_equal_ts_snapshots_pick_greatest_payload(spark):
+    """Two snapshots on one key with IDENTICAL ts: the documented
+    deterministic tie-break is the greatest payload (struct order) —
+    both strategies must agree."""
+    left = spark.createDataFrame([Row(k="a", ts=TS(2024, 1, 2), ev=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", snap_ts=TS(2024, 1, 1), v=5.0),
+            Row(k="a", snap_ts=TS(2024, 1, 1), v=9.0),
+            Row(k="a", snap_ts=TS(2024, 1, 1), v=7.0),
+        ]
+    )
+    for strategy in ("compact", "union"):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", strategy=strategy
+        ).collect()
+        assert len(out) == 1 and out[0].v == 9.0, strategy
+
+
 def _rows(df):
     return sorted(
         df.select("ev", "v").collect(), key=lambda r: r.ev
@@ -115,6 +134,14 @@ def test_asof_multi_key(spark):
 def test_asof_bad_strategy(spark):
     with pytest.raises(ValueError, match="strategy"):
         asof_join(_left(spark), _right(spark), on="k", strategy="nope")
+
+
+def test_asof_column_clash_rejected(spark):
+    """A right payload column sharing a left column's name would silently
+    overwrite it — must raise instead."""
+    right = _right(spark).withColumnRenamed("v", "ev")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(_left(spark), right, on="k", left_ts="ts")
 
 
 def _points(spark):
