@@ -1570,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5-new temporal joins (rotation rule 3: no driver row yet)
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "salted_cell_counts": q_salted_cell_counts,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
         # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
@@ -1678,7 +1679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_broadcast": q_poi_broadcast,
         "event_props": q_event_props,
         "unit_centroids": q_unit_centroids,
-        "salted_cell_counts": q_salted_cell_counts,
     }
 
 
