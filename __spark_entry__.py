@@ -1474,7 +1474,16 @@ def q_asof_join(spark, sf_dir):
     return asof_join_frame(_read(spark, sf_dir, "events"))
 
 
-def asof_join_frame(events: DataFrame) -> DataFrame:
+def q_asof_join_union(spark, sf_dir):
+    """The as-of join's ``strategy="union"`` fallback (union-then-window —
+    the classic formulation, kept for payloads too wide to array-pack) on
+    the same inputs and projection as ``asof_join``; shares that entry's
+    DuckDB ``ASOF LEFT JOIN`` oracle, so strategy equivalence is
+    driver-checkable (the dedup_groups/dedup_groups_star precedent)."""
+    return asof_join_frame(_read(spark, sf_dir, "events"), strategy="union")
+
+
+def asof_join_frame(events: DataFrame, strategy: str = "compact") -> DataFrame:
     """asof_join over a caller-provided events frame — split out so
     bench.py can thread a repartitioned frame in (events.parquet ships as
     ONE row group, Spark's minimum split unit; without the repartition a
@@ -1492,6 +1501,7 @@ def asof_join_frame(events: DataFrame) -> DataFrame:
         on="user_id",
         left_ts="ts",
         right_ts="snap_ts",
+        strategy=strategy,
     )
     return out.select(
         "event_id",
@@ -1569,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup_stream": q_snapshot_dedup_stream,
         # r5-new temporal joins (rotation rule 3: no driver row yet)
         "asof_join": q_asof_join,
+        "asof_join_union": q_asof_join_union,
         "interval_join": q_interval_join,
         "salted_cell_counts": q_salted_cell_counts,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
@@ -1739,6 +1750,18 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "asof_join": """
+            with snaps as (
+              select user_id, ts as snap_ts, max(value) as snap_value
+              from events where event_type = 'purchase' group by 1, 2
+            )
+            select e.event_id, e.user_id, epoch_us(e.ts) as ts_us,
+                   epoch_us(s.snap_ts) as snap_us, s.snap_value
+            from events e asof left join snaps s
+              on e.user_id = s.user_id and e.ts >= s.snap_ts
+        """,
+        # strategy equivalence: the union-then-window fallback must produce
+        # the exact rows the compact strategy does, so it shares the oracle
+        "asof_join_union": """
             with snaps as (
               select user_id, ts as snap_ts, max(value) as snap_value
               from events where event_type = 'purchase' group by 1, 2
