@@ -1582,6 +1582,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_union": q_asof_join_union,
         "interval_join": q_interval_join,
         "salted_cell_counts": q_salted_cell_counts,
+        # r5 n-gram rewrite (slice+array_join) changed these plans AFTER
+        # the last rotation -> fresh driver rows needed (rotation rule 2)
+        "minhash_pairs": q_minhash_pairs,
+        "jaccard_verified": q_jaccard_verified,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
         # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
@@ -1620,6 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_p_bins": q_max_p_bins,
         "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
+        # --- 50-row driver gate ends here; below: multiply-verified
+        # entries (driver-green in >=2 rounds, implementation unchanged)
+        # still checked by the local oracle replica every round ---
         "revenue_by_nation": q_revenue_by_nation,
         "monthly_orders": q_monthly_orders,
         # remaining slots: oldest driver row first (rotation rule 4)
@@ -1629,16 +1638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "event_windows": q_event_windows,
         "event_windows_stream": q_event_windows_stream,
-        # --- 50-row driver gate ends here; below: multiply-verified
-        # entries (driver-green in >=2 rounds, implementation unchanged)
-        # still checked by the local oracle replica every round ---
         "winnow_fingerprints": q_winnow,
         "dedup_spans": q_dedup_spans,
         "pii_scrub": q_pii_scrub,
         "snapshot_dedup": q_snapshot_dedup,
         "simhash_pairs": q_simhash_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        "jaccard_verified": q_jaccard_verified,
         "embedding_dup": q_embedding_dup,
         "host_stats": q_host_stats,
         "host_daily": q_host_daily,
@@ -1647,9 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "admission_gate": q_admission_gate,
         "blocklist": q_blocklist,
-        "repetition_stats": q_repetition_stats,
         "host_cap": q_host_cap,
-        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "language_id": q_language_id,
         "lsh_ann_many": q_lsh_ann_many,
