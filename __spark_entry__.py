@@ -1286,6 +1286,22 @@ def q_host_cap_bucketed(spark, sf_dir):
     )
 
 
+def q_unigram_familiarity(spark, sf_dir):
+    """Corpus-unigram LM quality score (extension surface — the CCNet-style
+    perplexity-filter tier kept in exactly-rounded arithmetic so the
+    cross-engine hash is exact; operators/lm.py docstring). Each document
+    scores the occurrence-weighted mean corpus probability of its tokens."""
+    return unigram_familiarity_frame(_read(spark, sf_dir, "documents"))
+
+
+def unigram_familiarity_frame(docs: DataFrame) -> DataFrame:
+    """unigram_familiarity over a caller-provided documents frame (bench
+    threads the repartitioned frame in — the one-row-group lesson)."""
+    from socialmapper_spark.operators.lm import unigram_familiarity
+
+    return unigram_familiarity(docs)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag docs sharing any exact 8-gram
     with the (deterministically chosen) benchmark subset."""
@@ -1588,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified": q_jaccard_verified,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        # r5-new LM quality scorer (rotation rule 3: no driver row yet)
+        "unigram_familiarity": q_unigram_familiarity,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
         # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
@@ -1625,10 +1643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jenks_caspall_bins": q_jenks_caspall_bins,
         "max_p_bins": q_max_p_bins,
         "event_sessions": q_event_sessions,
-        "event_sessions_stream": q_event_sessions_stream,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in >=2 rounds, implementation unchanged)
         # still checked by the local oracle replica every round ---
+        "event_sessions_stream": q_event_sessions_stream,
         "revenue_by_nation": q_revenue_by_nation,
         "monthly_orders": q_monthly_orders,
         # remaining slots: oldest driver row first (rotation rule 4)
@@ -1731,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         ensure_geo_extras,
         ensure_text_goldens,
     )
+    from socialmapper_spark.operators.lm import unigram_familiarity_sql
 
     _geo("/root/testdata/sf0.01")
     ensure_geo_extras("/root/testdata/sf0.01")
@@ -2274,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
             )
             select url, host, host_rank from r where host_rank <= 100
         """,
+        "unigram_familiarity": unigram_familiarity_sql(),
         "decontaminate": f"""
             with bg as (
                 select distinct unnest({_grams8_sql()}) as g

@@ -131,6 +131,10 @@ def main() -> None:
         # projections, so count() would prune the probe/containment math
         ("asof_join", lambda: checksum_all(entrymod.asof_join_frame(events_rp))),
         ("interval_join", lambda: checksum_all(entrymod.interval_join_frame(events_rp))),
+        # corpus-unigram LM quality score (r5): explode -> two combinable
+        # aggs -> term-dictionary join -> per-doc agg; checksum sink
+        # because the output is a non-filtering projection
+        ("unigram_familiarity", lambda: checksum_all(entrymod.unigram_familiarity_frame(docs))),
     ]
 
     # interleaved best-of-N: the sandbox host has 2-3x run-to-run noise, so

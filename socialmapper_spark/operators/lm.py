@@ -1,0 +1,130 @@
+"""Corpus-level language-model quality scoring (extension surface — the
+reference has no text-corpus analog; this is the build-mandate
+"quality scoring" family's LM member, the shape CCNet popularized:
+score each document by how typical its tokens are of the corpus).
+
+``unigram_familiarity`` scores every document by the average corpus
+frequency of its tokens — a one-pass unigram LM over the corpus itself.
+Gibberish, OCR noise, and rare-token spam score low; fluent
+natural-language text scores high. It is the cheap first tier of the
+perplexity-filter ladder: the full KenLM-style n-gram perplexity needs
+log-probabilities, and ``ln`` is NOT bit-identical between engines
+(Java ``Math.log`` vs C ``log`` can differ in the last ulp), so this
+operator deliberately stays in exactly-rounded arithmetic — integer
+sums plus IEEE divisions — to keep the cross-engine oracle hash exact
+(the same contract quantize_embeddings documents for its floor rule).
+
+Definition (whitespace tokens, the repo-wide word-split convention):
+
+    tf(t)        = corpus count of token t           (exact bigint)
+    familiar_sum = sum over doc tokens of tf(token)  (exact bigint)
+    familiarity  = (familiar_sum / corpus_total) / n_tokens
+
+i.e. the mean over the document's tokens of P(token) under the corpus
+unigram model. Both divisions are IEEE-exactly-rounded in Spark and
+DuckDB, and both engines apply them in the same left-associative
+order, so the doubles hash identically.
+
+Scale design (100 TB):
+- tokens are pre-aggregated per (doc, token) FIRST — one map-side
+  combinable shuffle — so the term-frequency join probes one row per
+  distinct (doc, token), not one per token occurrence; that aggregate
+  feeds all three consumers (probe side, dictionary, corpus total) and
+  is persisted so the corpus is scanned and exploded ONCE, not three
+  times (handle surfaced for ``session.release_caches``);
+- the term dictionary is built with a second combinable aggregate and
+  joined on the token key; at web scale the dictionary (100M+ terms)
+  exceeds broadcast, and the honest plan is a shuffled hash join whose
+  hot keys (stopwords appear in every document) are exactly the AQE
+  skew-split case the skew drill (SKEW_DRILL.json) measures — AQE is
+  on repo-wide (session.py);
+- the corpus total is a ONE-ROW aggregate attached via
+  broadcast(cross-join), the whitelisted one-row-frame pattern
+  (operators/stats.py precedent); nothing else touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def unigram_familiarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-LM familiarity score →
+    ``(id_col, n_tokens, familiar_sum, familiarity)``.
+
+    ``familiarity`` is the mean corpus-unigram probability of the
+    document's tokens (occurrence-weighted, so a repeated common token
+    raises it); ``familiar_sum``/``n_tokens`` are the exact integer
+    numerators a caller can re-normalize differently. Empty documents
+    tokenize to one empty-string token (Spark ``split`` and DuckDB
+    ``string_split`` agree), which simply participates as a term —
+    filter upstream if that token should not score.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    # doc_tok feeds three consumers (probe side, term dictionary, corpus
+    # total); unpersisted, Catalyst would re-scan and re-explode the
+    # corpus once per consumer — persist it and surface the handle on
+    # __spark_graft_caches__ for session.release_caches (the
+    # host_top_terms / kring-kNN pattern)
+    doc_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("k")).persist()
+    tf = doc_tok.groupBy("tok").agg(F.sum("k").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("corpus_total"))
+    per_doc = (
+        doc_tok.join(tf, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("tf")).alias("familiar_sum"),
+        )
+    )
+    out = per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        "familiar_sum",
+        (
+            F.col("familiar_sum").cast("double")
+            / F.col("corpus_total").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("familiarity"),
+    )
+    out.__spark_graft_caches__ = [doc_tok]
+    return out
+
+
+def unigram_familiarity_sql(
+    table_expr: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_familiarity` — same whitespace
+    split, same integer aggregates (HUGEINT cast back to BIGINT — the
+    driver fetches via pandas, where HUGEINT drifts to float64), same
+    left-associative double divisions, generated beside the Spark code
+    so the dialects cannot drift."""
+    return f"""
+        with doc_tok as (
+          select {id_col}, tok, cast(count(*) as bigint) as k
+          from (
+            select {id_col}, unnest(string_split({text_col}, ' ')) as tok
+            from {table_expr}
+          ) group by 1, 2
+        ), tf as (
+          select tok, cast(sum(k) as bigint) as tf from doc_tok group by 1
+        ), tot as (
+          select cast(sum(tf) as bigint) as corpus_total from tf
+        )
+        select d.{id_col},
+               cast(sum(d.k) as bigint) as n_tokens,
+               cast(sum(d.k * t.tf) as bigint) as familiar_sum,
+               cast(sum(d.k * t.tf) as double)
+                 / cast(any_value(tot.corpus_total) as double)
+                 / cast(sum(d.k) as double) as familiarity
+        from doc_tok d join tf t using (tok) cross join tot
+        group by d.{id_col}
+    """
