@@ -84,6 +84,9 @@ WHITELIST: dict[str, tuple[set[str], str]] = {
                             "(stats.py:198)"),
     "poi_broadcast": ({"BroadcastNestedLoopJoin"},
                       "one-row first-POI frame broadcast onto every unit"),
+    "unigram_familiarity": ({"BroadcastNestedLoopJoin"},
+                            "one-row corpus-total frame broadcast-crossed "
+                            "(operators/lm.py)"),
     "raster_tiles": ({"FlatMapGroupsInPandas"},
                      "per-tile ndarray materialization (applyInPandas)"),
     # composites built on page_assignments / knn_join inherit the polygon
