@@ -1302,6 +1302,16 @@ def unigram_familiarity_frame(docs: DataFrame) -> DataFrame:
     return unigram_familiarity(docs)
 
 
+def q_unigram_familiarity_salted(spark, sf_dir):
+    """The skew-safe (salted dictionary join) form of the LM scorer —
+    output-identical by construction, so it shares unigram_familiarity's
+    oracle and salt-invariance is driver-checkable (the
+    salted_cell_counts precedent)."""
+    from socialmapper_spark.operators.lm import unigram_familiarity
+
+    return unigram_familiarity(_read(spark, sf_dir, "documents"), skew_safe=True)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag docs sharing any exact 8-gram
     with the (deterministically chosen) benchmark subset."""
@@ -1606,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # r5-new LM quality scorer (rotation rule 3: no driver row yet)
         "unigram_familiarity": q_unigram_familiarity,
+        "unigram_familiarity_salted": q_unigram_familiarity_salted,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
         # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
@@ -1642,10 +1653,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_breaks_bins": q_natural_breaks_bins,
         "jenks_caspall_bins": q_jenks_caspall_bins,
         "max_p_bins": q_max_p_bins,
-        "event_sessions": q_event_sessions,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in >=2 rounds, implementation unchanged)
         # still checked by the local oracle replica every round ---
+        "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
         "revenue_by_nation": q_revenue_by_nation,
         "monthly_orders": q_monthly_orders,
@@ -2294,6 +2305,8 @@ def oracle_sql() -> dict[str, str]:
             select url, host, host_rank from r where host_rank <= 100
         """,
         "unigram_familiarity": unigram_familiarity_sql(),
+        # salt-invariance: the skew-safe form shares the oracle
+        "unigram_familiarity_salted": unigram_familiarity_sql(),
         "decontaminate": f"""
             with bg as (
                 select distinct unnest({_grams8_sql()}) as g

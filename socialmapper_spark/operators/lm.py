@@ -52,6 +52,8 @@ def unigram_familiarity(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    skew_safe: bool = False,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-document unigram-LM familiarity score →
     ``(id_col, n_tokens, familiar_sum, familiarity)``.
@@ -63,6 +65,17 @@ def unigram_familiarity(
     tokenize to one empty-string token (Spark ``split`` and DuckDB
     ``string_split`` agree), which simply participates as a term —
     filter upstream if that token should not score.
+
+    ``skew_safe=True`` swaps the dictionary join for
+    ``operators.skew.salted_join`` — stopwords appear in essentially
+    every document, so under a plain shuffled join each stopword's
+    probe rows land on ONE reducer; salting by the doc id spreads a hot
+    token across ``n_salts`` reducers with identical row multiplicity,
+    so the output (and the oracle hash) is unchanged. Registered as its
+    own driver-gated entry against the SAME oracle (the
+    salted_cell_counts salt-invariance precedent). AQE's skew-split
+    handles moderate skew without it; the salted path is the explicit
+    100-TB hedge for the pathological dictionary.
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
@@ -75,8 +88,14 @@ def unigram_familiarity(
     doc_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("k")).persist()
     tf = doc_tok.groupBy("tok").agg(F.sum("k").alias("tf"))
     total = tf.agg(F.sum("tf").alias("corpus_total"))
+    if skew_safe:
+        from socialmapper_spark.operators.skew import salted_join
+
+        joined = salted_join(doc_tok, tf, key="tok", salt_src=id_col, n_salts=n_salts)
+    else:
+        joined = doc_tok.join(tf, "tok")
     per_doc = (
-        doc_tok.join(tf, "tok")
+        joined
         .groupBy(id_col)
         .agg(
             F.sum("k").alias("n_tokens"),

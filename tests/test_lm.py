@@ -52,3 +52,9 @@ def test_plan_no_python_and_broadcast_total(corpus):
     plan = unigram_familiarity(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # the one-row total is broadcast
+
+
+def test_skew_safe_path_is_output_identical(corpus):
+    plain = sorted(unigram_familiarity(corpus).collect())
+    salted = sorted(unigram_familiarity(corpus, skew_safe=True).collect())
+    assert plain == salted
