@@ -1575,6 +1575,45 @@ def interval_join_frame(events: DataFrame) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-OVERLAP join (extension surface): two event-derived
+    interval sets (30-min and 45-min windows of the same event_type)
+    paired wherever they overlap, end-exclusive. Both sides
+    bucket-replicate into an equi-join and the pair dedup happens
+    plan-side in the overlap-start bucket — no NestedLoop, no distinct
+    (operators/temporal.py interval_overlap_join docstring; the naive
+    range theta-join is a BroadcastNestedLoopJoin and the naive bucket
+    dedup a second wide shuffle)."""
+    events = _read(spark, sf_dir, "events")
+    from socialmapper_spark.operators.temporal import interval_overlap_join
+
+    a = events.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("a_id"),
+        "event_type",
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a_end"),
+    )
+    b = events.filter(F.col("event_id") % 70 == 0).select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("event_type_b"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("b_end"),
+    ).withColumnRenamed("event_type_b", "event_type")
+    out = interval_overlap_join(
+        a, b,
+        left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+        on=["event_type"], bucket_seconds=1800,
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        "event_type",
+        F.unix_micros(F.col("a_start").cast("timestamp")).alias("a_start_us"),
+        F.unix_micros(F.col("b_start").cast("timestamp")).alias("b_start_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's CORRECTNESS gate evaluates the
     FIRST 50 entries only, so the newest / this-round-changed operators sit
@@ -1607,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_union": q_asof_join_union,
         "interval_join": q_interval_join,
+        "interval_overlap": q_interval_overlap,
         "salted_cell_counts": q_salted_cell_counts,
         # r5 n-gram rewrite (slice+array_join) changed these plans AFTER
         # the last rotation -> fresh driver rows needed (rotation rule 2)
@@ -1652,10 +1692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_jenks_bins": q_fisher_jenks_bins,
         "natural_breaks_bins": q_natural_breaks_bins,
         "jenks_caspall_bins": q_jenks_caspall_bins,
-        "max_p_bins": q_max_p_bins,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in >=2 rounds, implementation unchanged)
         # still checked by the local oracle replica every round ---
+        "max_p_bins": q_max_p_bins,
         "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1814,6 +1854,23 @@ def oracle_sql() -> dict[str, str]:
             from events e join ivals i
               on e.event_type = i.event_type
              and e.ts >= i.start_ts and e.ts < i.end_ts
+        """,
+        "interval_overlap": """
+            with a as (
+              select event_id as a_id, event_type, ts as a_start,
+                     ts + interval 30 minute as a_end
+              from events where event_id % 50 = 0
+            ), b as (
+              select event_id as b_id, event_type, ts as b_start,
+                     ts + interval 45 minute as b_end
+              from events where event_id % 70 = 0
+            )
+            select a.a_id, b.b_id, a.event_type,
+                   epoch_us(a.a_start) as a_start_us,
+                   epoch_us(b.b_start) as b_start_us
+            from a join b
+              on a.event_type = b.event_type
+             and a.a_start < b.b_end and b.b_start < a.a_end
         """,
         "geoparse": f"""
             select url, lat, lon,

@@ -208,3 +208,73 @@ def interval_join(
         ivals[c] for c in intervals.columns if c not in keys
     ]
     return joined.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    on: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner interval-OVERLAP join: one output row per (left, right)
+    interval pair with matching keys and ``l.start < r.end AND
+    r.start < l.end`` (end-exclusive overlap — abutting intervals do
+    NOT match). Columns: all left columns + all right non-key columns
+    (a name clash raises, the asof_join contract).
+
+    Scale shape: BOTH sides replicate over the time buckets they cover
+    (in-plan explode, no shuffle), Catalyst gets an equi-join on
+    (bucket, keys), and the bucket-duplicate problem — an overlapping
+    pair co-occurs in every shared bucket — is solved plan-side with
+    zero extra exchanges: a pair is kept ONLY in the bucket containing
+    ``greatest(l.start, r.start)``, the overlap's first instant, which
+    every true overlap covers on both sides exactly once. The naive
+    formulation needs either a BroadcastNestedLoopJoin (the range
+    theta-join) or a full-row ``distinct`` after bucket joining (a
+    second wide shuffle); this needs neither. Per-side replication is
+    ``ceil(len/width)``-ish — pick ``bucket_seconds`` near the typical
+    interval length, exactly as in :func:`interval_join`.
+    """
+    keys = list(on)
+    clash = [
+        c
+        for c in right.columns
+        if c not in keys and c in left.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join: right columns {clash} collide with "
+            "left columns; rename one side"
+        )
+    width_us = bucket_seconds * MICROS
+    def covered(start: str, end: str) -> Column:
+        return F.sequence(
+            _bucket(F.col(start), width_us),
+            F.floor((_micros(F.col(end)) - F.lit(1)) / F.lit(width_us)).cast(
+                "long"
+            ),
+        )
+
+    l = left.withColumn("__bucket", F.explode(covered(left_start, left_end)))
+    r = right.withColumn("__bucket", F.explode(covered(right_start, right_end)))
+    cond = [l["__bucket"] == r["__bucket"]] + [l[k] == r[k] for k in keys]
+    joined = l.join(r, cond, "inner").filter(
+        (_micros(l[left_start]) < _micros(r[right_end]))
+        & (_micros(r[right_start]) < _micros(l[left_end]))
+        # dedup: keep the pair only in the overlap-start bucket
+        & (
+            l["__bucket"]
+            == F.floor(
+                F.greatest(_micros(l[left_start]), _micros(r[right_start]))
+                / F.lit(width_us)
+            ).cast("long")
+        )
+    )
+    out_cols = [l[c] for c in left.columns] + [
+        r[c] for c in right.columns if c not in keys
+    ]
+    return joined.select(*out_cols)

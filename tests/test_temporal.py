@@ -219,3 +219,91 @@ def test_interval_join_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def _ivals(spark, name, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                **{
+                    f"{name}_id": i,
+                    "g": g,
+                    f"{name}_start": TS(2024, 1, d0, h0, m0),
+                    f"{name}_end": TS(2024, 1, d1, h1, m1),
+                }
+            )
+            for i, (g, (d0, h0, m0), (d1, h1, m1)) in enumerate(rows)
+        ]
+    )
+
+
+def test_overlap_join_semantics(spark):
+    """Overlap, containment, abutment, cross-key, multi-bucket spans —
+    checked against a brute-force cross-join oracle."""
+    from socialmapper_spark.operators.temporal import interval_overlap_join
+
+    left = _ivals(
+        spark,
+        "a",
+        [
+            ("x", (1, 0, 0), (1, 2, 0)),    # 00:00-02:00
+            ("x", (1, 2, 0), (1, 3, 0)),    # abuts previous: no match
+            ("x", (1, 1, 0), (2, 1, 0)),    # 24h span (many buckets)
+            ("y", (1, 0, 30), (1, 0, 45)),  # other key
+        ],
+    )
+    right = _ivals(
+        spark,
+        "b",
+        [
+            ("x", (1, 1, 30), (1, 1, 45)),  # inside a0 and a2
+            ("x", (1, 2, 0), (1, 2, 30)),   # abuts a0, inside a2, = a1 start
+            ("x", (2, 0, 0), (2, 5, 0)),    # overlaps a2 tail only
+            ("y", (1, 0, 40), (1, 1, 0)),   # overlaps the y interval
+        ],
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            left,
+            right,
+            left_start="a_start",
+            left_end="a_end",
+            right_start="b_start",
+            right_end="b_end",
+            on=["g"],
+            bucket_seconds=1800,
+        ).collect()
+    )
+    # brute-force oracle on the same frames
+    lc, rc = left.collect(), right.collect()
+    want = sorted(
+        (a.a_id, b.b_id)
+        for a in lc
+        for b in rc
+        if a.g == b.g and a.a_start < b.b_end and b.b_start < a.a_end
+    )
+    assert got == want
+    assert (0, 0) in got and (2, 2) in got  # overlap + tail-overlap
+    assert (1, 0) not in got  # abutting intervals don't match
+
+
+def test_overlap_join_no_nlj_no_distinct(spark):
+    from socialmapper_spark.operators.temporal import interval_overlap_join
+
+    left = _ivals(spark, "a", [("x", (1, 0, 0), (1, 2, 0))])
+    right = _ivals(spark, "b", [("x", (1, 1, 0), (1, 3, 0))])
+    out = interval_overlap_join(
+        left, right, "a_start", "a_end", "b_start", "b_end", on=["g"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_overlap_join_column_clash_rejected(spark):
+    from socialmapper_spark.operators.temporal import interval_overlap_join
+
+    left = _ivals(spark, "a", [("x", (1, 0, 0), (1, 2, 0))])
+    right = _ivals(spark, "a", [("x", (1, 1, 0), (1, 3, 0))])
+    with pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(left, right, "a_start", "a_end", "a_start", "a_end", on=["g"])
