@@ -1302,6 +1302,16 @@ def unigram_familiarity_frame(docs: DataFrame) -> DataFrame:
     return unigram_familiarity(docs)
 
 
+def q_bigram_familiarity(spark, sf_dir):
+    """The n=2 rung of the familiarity ladder: word-bigram corpus
+    probability — catches word-salad whose individual words are all
+    common (operators/lm.py docstring). Same exactly-rounded
+    arithmetic; docs with <2 words drop out (both engines)."""
+    from socialmapper_spark.operators.lm import unigram_familiarity
+
+    return unigram_familiarity(_read(spark, sf_dir, "documents"), n=2)
+
+
 def q_unigram_familiarity_salted(spark, sf_dir):
     """The skew-safe (salted dictionary join) form of the LM scorer —
     output-identical by construction, so it shares unigram_familiarity's
@@ -1657,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5-new LM quality scorer (rotation rule 3: no driver row yet)
         "unigram_familiarity": q_unigram_familiarity,
         "unigram_familiarity_salted": q_unigram_familiarity_salted,
+        "bigram_familiarity": q_bigram_familiarity,
         # r5-changed plans (rotation rule 2): exact-integer raster decode,
         # chunked-lineage module, CC convergence contracts, curation refactor
         "rasterize": q_rasterize,
@@ -1691,10 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_tail_bins": q_head_tail_bins,
         "fisher_jenks_bins": q_fisher_jenks_bins,
         "natural_breaks_bins": q_natural_breaks_bins,
-        "jenks_caspall_bins": q_jenks_caspall_bins,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in >=2 rounds, implementation unchanged)
         # still checked by the local oracle replica every round ---
+        "jenks_caspall_bins": q_jenks_caspall_bins,
         "max_p_bins": q_max_p_bins,
         "event_sessions": q_event_sessions,
         "event_sessions_stream": q_event_sessions_stream,
@@ -2364,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_familiarity": unigram_familiarity_sql(),
         # salt-invariance: the skew-safe form shares the oracle
         "unigram_familiarity_salted": unigram_familiarity_sql(),
+        "bigram_familiarity": unigram_familiarity_sql(n=2),
         "decontaminate": f"""
             with bg as (
                 select distinct unnest({_grams8_sql()}) as g

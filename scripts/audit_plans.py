@@ -90,6 +90,9 @@ WHITELIST: dict[str, tuple[set[str], str]] = {
     "unigram_familiarity_salted": ({"BroadcastNestedLoopJoin"},
                                    "one-row corpus-total frame "
                                    "broadcast-crossed (operators/lm.py)"),
+    "bigram_familiarity": ({"BroadcastNestedLoopJoin"},
+                           "one-row corpus-total frame broadcast-crossed "
+                           "(operators/lm.py)"),
     "raster_tiles": ({"FlatMapGroupsInPandas"},
                      "per-tile ndarray materialization (applyInPandas)"),
     # composites built on page_assignments / knn_join inherit the polygon

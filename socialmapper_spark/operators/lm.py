@@ -54,6 +54,7 @@ def unigram_familiarity(
     text_col: str = "text",
     skew_safe: bool = False,
     n_salts: int = 16,
+    n: int = 1,
 ) -> DataFrame:
     """Per-document unigram-LM familiarity score →
     ``(id_col, n_tokens, familiar_sum, familiarity)``.
@@ -76,10 +77,22 @@ def unigram_familiarity(
     salted_cell_counts salt-invariance precedent). AQE's skew-split
     handles moderate skew without it; the salted path is the explicit
     100-TB hedge for the pathological dictionary.
+
+    ``n > 1`` scores over word n-grams instead of unigrams (the next
+    rung of the CCNet ladder: bigram familiarity catches word-salad
+    whose individual words are all common). Grams are built with the
+    repo's slice+array_join kernel (operators/dedup.word_ngrams_col);
+    a document with fewer than ``n`` words produces an empty gram
+    array, so it has NO output row (the explode drops it — mirror of
+    DuckDB ``unnest`` on an empty list; gate such docs upstream).
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    )
+    if n == 1:
+        tok_arr = F.split(F.col(text_col), " ")
+    else:
+        from socialmapper_spark.operators.dedup import word_ngrams_col
+
+        tok_arr = word_ngrams_col(F.col(text_col), n)
+    toks = docs.select(F.col(id_col), F.explode(tok_arr).alias("tok"))
     # doc_tok feeds three consumers (probe side, term dictionary, corpus
     # total); unpersisted, Catalyst would re-scan and re-explode the
     # corpus once per consumer — persist it and surface the handle on
@@ -120,17 +133,28 @@ def unigram_familiarity_sql(
     table_expr: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n: int = 1,
 ) -> str:
     """DuckDB twin of :func:`unigram_familiarity` — same whitespace
-    split, same integer aggregates (HUGEINT cast back to BIGINT — the
-    driver fetches via pandas, where HUGEINT drifts to float64), same
-    left-associative double divisions, generated beside the Spark code
-    so the dialects cannot drift."""
+    split (same `n`-gram construction for ``n > 1``, mirroring
+    word_ngrams_col), same integer aggregates (HUGEINT cast back to
+    BIGINT — the driver fetches via pandas, where HUGEINT drifts to
+    float64), same left-associative double divisions, generated beside
+    the Spark code so the dialects cannot drift."""
+    if n == 1:
+        tok_src = f"unnest(string_split({text_col}, ' '))"
+    else:
+        sp = f"string_split({text_col}, ' ')"
+        gram = " || ' ' || ".join(f"{sp}[i+{j}]" for j in range(n))
+        tok_src = (
+            f"unnest(list_transform(range(1, (len({sp}) - {n - 1}) + 1), "
+            f"i -> {gram}))"
+        )
     return f"""
         with doc_tok as (
           select {id_col}, tok, cast(count(*) as bigint) as k
           from (
-            select {id_col}, unnest(string_split({text_col}, ' ')) as tok
+            select {id_col}, {tok_src} as tok
             from {table_expr}
           ) group by 1, 2
         ), tf as (

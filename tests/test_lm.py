@@ -58,3 +58,19 @@ def test_skew_safe_path_is_output_identical(corpus):
     plain = sorted(unigram_familiarity(corpus).collect())
     salted = sorted(unigram_familiarity(corpus, skew_safe=True).collect())
     assert plain == salted
+
+
+def test_bigram_familiarity(spark):
+    # corpus bigrams: "a b" tf=2, "b c" tf=1, "b d" tf=1 -> total=4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text="a b d"),
+            Row(doc_id=3, text="solo"),  # <2 words: no output row
+        ]
+    )
+    out = {r.doc_id: r for r in unigram_familiarity(docs, n=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: grams "a b"(2), "b c"(1) -> familiar_sum=3, n_tokens=2
+    assert out[1].familiar_sum == 3 and out[1].n_tokens == 2
+    assert out[1].familiarity == pytest.approx(3 / 4 / 2)
