@@ -1420,6 +1420,37 @@ def q_corpus_curation(spark, sf_dir):
     return corpus_curation_frame(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_curation_lm(spark, sf_dir):
+    """The curation funnel composed with the LM quality scorer: every
+    doc's first-failing-stage reason PLUS its corpus-unigram familiarity
+    and a fixed-threshold LM gate (`familiarity >= 1e-4` — a literal so
+    the boolean is bit-reproducible; real pipelines pick the threshold
+    from a held-out calibration). One doc_id-keyed join of two
+    already-oracled plans; the oracle composes their SQL twins as
+    subqueries. The documents scan is shared lineage but evaluated per
+    branch (funnel projection vs LM explode — different column sets, so
+    a shared persist would trade a narrow scan for a wide cache; the
+    funnel side persists nothing, the LM side keeps its (doc, token)
+    cache)."""
+    from socialmapper_spark.operators.lm import unigram_familiarity
+
+    docs = _read(spark, sf_dir, "documents")
+    funnel = corpus_curation_frame(docs)
+    lm_full = unigram_familiarity(docs)
+    # the caches attribute lives on the returned object — grab it BEFORE
+    # any further transformation (the r4 host_top_terms advice)
+    caches = getattr(lm_full, "__spark_graft_caches__", None)
+    lm = lm_full.select("doc_id", "familiarity")
+    out = funnel.join(lm, "doc_id", "left")
+    out = out.withColumn(
+        "lm_pass",
+        F.coalesce(F.col("familiarity") >= F.lit(1e-4), F.lit(False)),
+    )
+    if caches:
+        out.__spark_graft_caches__ = caches
+    return out
+
+
 def corpus_curation_frame(docs):
     """The corpus-curation funnel over a caller-provided documents frame —
     split out so bench.py can thread its multi-split repartitioned frame
@@ -1680,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_groups_star": q_dedup_groups_star,
         "corpus_curation": q_corpus_curation,
+        "corpus_curation_lm": q_corpus_curation_lm,
         # entries with exactly one driver-green round (rotation rule 3)
         "crawl_curation": q_crawl_curation,
         "host_top_terms": q_host_top_terms,
@@ -1701,10 +1733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximum_breaks_bins": q_maximum_breaks_bins,
         "head_tail_bins": q_head_tail_bins,
         "fisher_jenks_bins": q_fisher_jenks_bins,
-        "natural_breaks_bins": q_natural_breaks_bins,
         # --- 50-row driver gate ends here; below: multiply-verified
         # entries (driver-green in >=2 rounds, implementation unchanged)
         # still checked by the local oracle replica every round ---
+        "natural_breaks_bins": q_natural_breaks_bins,
         "jenks_caspall_bins": q_jenks_caspall_bins,
         "max_p_bins": q_max_p_bins,
         "event_sessions": q_event_sessions,
@@ -1831,7 +1863,7 @@ def oracle_sql() -> dict[str, str]:
                max(case when variable_code='B25044_010E' then value_clean end) as B25044_010E
         from ({cleansed}) group by geoid
     """
-    return {
+    oracles = {
         "asof_join": """
             with snaps as (
               select user_id, ts as snap_ts, max(value) as snap_value
@@ -2888,6 +2920,14 @@ def oracle_sql() -> dict[str, str]:
             group by 1
         """,
     }
+    # compositions that reuse other entries' twins as subqueries
+    oracles["corpus_curation_lm"] = f"""
+        select f.*, l.familiarity,
+               coalesce(l.familiarity >= 1e-4, false) as lm_pass
+        from ({oracles["corpus_curation"]}) f
+        left join ({oracles["unigram_familiarity"]}) l using (doc_id)
+    """
+    return oracles
 
 
 _EVENT_SESSIONS_SQL = """

@@ -93,6 +93,9 @@ WHITELIST: dict[str, tuple[set[str], str]] = {
     "bigram_familiarity": ({"BroadcastNestedLoopJoin"},
                            "one-row corpus-total frame broadcast-crossed "
                            "(operators/lm.py)"),
+    "corpus_curation_lm": ({"BroadcastNestedLoopJoin"},
+                           "one-row corpus-total frame broadcast-crossed "
+                           "on the LM branch (operators/lm.py)"),
     "raster_tiles": ({"FlatMapGroupsInPandas"},
                      "per-tile ndarray materialization (applyInPandas)"),
     # composites built on page_assignments / knn_join inherit the polygon

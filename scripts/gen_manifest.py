@@ -26,7 +26,11 @@ def registry_names() -> list[str]:
 def oracle_names() -> set[str]:
     src = open("/root/repo/__spark_entry__.py").read()
     m = re.search(r"def oracle_sql\(\).*", src, re.S)
-    return set(re.findall(r'^        "([a-z0-9_]+)":', m.group(0), re.M))
+    names = set(re.findall(r'^        "([a-z0-9_]+)":', m.group(0), re.M))
+    # composed entries are assigned after the literal dict:
+    # oracles["name"] = f"""..."""
+    names |= set(re.findall(r'oracles\["([a-z0-9_]+)"\] =', m.group(0)))
+    return names
 
 
 def green_history() -> dict[str, list[int]]:
