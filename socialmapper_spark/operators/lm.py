@@ -86,6 +86,8 @@ def unigram_familiarity(
     array, so it has NO output row (the explode drops it — mirror of
     DuckDB ``unnest`` on an empty list; gate such docs upstream).
     """
+    if n < 1:
+        raise ValueError(f"unigram_familiarity: n must be >= 1, got {n}")
     if n == 1:
         tok_arr = F.split(F.col(text_col), " ")
     else:
@@ -141,6 +143,8 @@ def unigram_familiarity_sql(
     BIGINT — the driver fetches via pandas, where HUGEINT drifts to
     float64), same left-associative double divisions, generated beside
     the Spark code so the dialects cannot drift."""
+    if n < 1:
+        raise ValueError(f"unigram_familiarity_sql: n must be >= 1, got {n}")
     if n == 1:
         tok_src = f"unnest(string_split({text_col}, ' '))"
     else:

@@ -87,6 +87,16 @@ def asof_join(
             f"asof_join: right columns {clash} collide with left columns; "
             "rename one side"
         )
+    # A right row with a NULL key or NULL timestamp can never be picked
+    # under the compact strategy (equi-join on NULL matches nothing; a
+    # NULL ts fails `ts <= left_ts`), but the union strategy's
+    # Window.partitionBy GROUPS NULL keys together and sorts NULL ts
+    # first — it would pick them. Drop them up front so both strategies
+    # agree row-for-row on every input (the shared-oracle contract).
+    notnull = F.col(right_ts).isNotNull()
+    for k in keys:
+        notnull = notnull & F.col(k).isNotNull()
+    right = right.filter(notnull)
     if strategy == "compact":
         snap = F.struct(F.col(right_ts).alias("ts"), *[F.col(c) for c in payload])
         dim = right.groupBy(*keys).agg(
@@ -102,10 +112,15 @@ def asof_join(
         pick = F.try_element_at(
             F.filter("__snaps", lambda s: s["ts"] <= F.col(left_ts)), F.lit(-1)
         )
-        out = joined.withColumn("__pick", pick).drop("__snaps")
-        for c in payload:
-            out = out.withColumn(c, F.col("__pick")[c])
-        return out.withColumn(right_ts, F.col("__pick")["ts"]).drop("__pick")
+        # one projection extracting every field (a per-column withColumn
+        # loop builds O(payload) nested Projects); __pick is referenced
+        # len(payload)+1 times, so CollapseProject keeps it materialized
+        # once instead of inlining the filter scan per column
+        return joined.withColumn("__pick", pick).select(
+            *left.columns,
+            *[F.col("__pick")[c].alias(c) for c in payload],
+            F.col("__pick")["ts"].alias(right_ts),
+        )
     if strategy == "union":
         from pyspark.sql import Window
 
@@ -172,6 +187,26 @@ def _bucket(ts: Column, width_us: int) -> Column:
     return F.floor(_micros(ts) / F.lit(width_us)).cast("long")
 
 
+def _covered_buckets(start: Column, end: Column, width_us: int) -> Column:
+    """Array of bucket ids an END-EXCLUSIVE interval [start, end) covers
+    (the last covered bucket is the one containing end − 1 µs) — the one
+    place the −1 µs invariant lives, shared by interval_join and
+    interval_overlap_join.
+
+    Degenerate intervals (end <= start) yield an EMPTY array: without
+    the guard, Spark's ``sequence(b0, b1)`` with b1 < b0 generates a
+    DESCENDING sequence — a single corrupt row with end at epoch and
+    start years later would replicate into hundreds of thousands of
+    buckets (all later discarded by the exact filter), turning the
+    bounded fan-out contract into a blow-up. The explode then simply
+    drops the row."""
+    b0 = F.floor(_micros(start) / F.lit(width_us)).cast("long")
+    b1 = F.floor((_micros(end) - F.lit(1)) / F.lit(width_us)).cast("long")
+    return F.when(b1 >= b0, F.sequence(b0, b1)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -190,13 +225,21 @@ def interval_join(
     hashed once. Pick the bucket width near the typical interval length.
     """
     keys = list(on)
+    clash = [
+        c for c in intervals.columns if c not in keys and c in points.columns
+    ]
+    if clash:
+        # the output would otherwise carry duplicate column names that
+        # only blow up downstream (AMBIGUOUS_REFERENCE / parquet write)
+        raise ValueError(
+            f"interval_join: interval columns {clash} collide with point "
+            "columns; rename one side"
+        )
     width_us = bucket_seconds * MICROS
-    b0 = _bucket(F.col(start_col), width_us)
-    # end-exclusive: the last covered bucket is the one containing end-1µs
-    b1 = F.floor((_micros(F.col(end_col)) - F.lit(1)) / F.lit(width_us)).cast(
-        "long"
+    ivals = intervals.withColumn(
+        "__bucket",
+        F.explode(_covered_buckets(F.col(start_col), F.col(end_col), width_us)),
     )
-    ivals = intervals.withColumn("__bucket", F.explode(F.sequence(b0, b1)))
     pts = points.withColumn("__bucket", _bucket(F.col(point_ts), width_us))
     cond = [pts["__bucket"] == ivals["__bucket"]] + [
         pts[k] == ivals[k] for k in keys
@@ -251,16 +294,16 @@ def interval_overlap_join(
             "left columns; rename one side"
         )
     width_us = bucket_seconds * MICROS
-    def covered(start: str, end: str) -> Column:
-        return F.sequence(
-            _bucket(F.col(start), width_us),
-            F.floor((_micros(F.col(end)) - F.lit(1)) / F.lit(width_us)).cast(
-                "long"
-            ),
-        )
-
-    l = left.withColumn("__bucket", F.explode(covered(left_start, left_end)))
-    r = right.withColumn("__bucket", F.explode(covered(right_start, right_end)))
+    l = left.withColumn(
+        "__bucket",
+        F.explode(_covered_buckets(F.col(left_start), F.col(left_end), width_us)),
+    )
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            _covered_buckets(F.col(right_start), F.col(right_end), width_us)
+        ),
+    )
     cond = [l["__bucket"] == r["__bucket"]] + [l[k] == r[k] for k in keys]
     joined = l.join(r, cond, "inner").filter(
         (_micros(l[left_start]) < _micros(r[right_end]))

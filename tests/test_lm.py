@@ -74,3 +74,13 @@ def test_bigram_familiarity(spark):
     # doc 1: grams "a b"(2), "b c"(1) -> familiar_sum=3, n_tokens=2
     assert out[1].familiar_sum == 3 and out[1].n_tokens == 2
     assert out[1].familiarity == pytest.approx(3 / 4 / 2)
+
+
+def test_n_below_one_rejected(spark):
+    from socialmapper_spark.operators.lm import unigram_familiarity_sql
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError, match="n must be"):
+        unigram_familiarity(docs, n=0)
+    with pytest.raises(ValueError, match="n must be"):
+        unigram_familiarity_sql(n=0)

@@ -307,3 +307,65 @@ def test_overlap_join_column_clash_rejected(spark):
     right = _ivals(spark, "a", [("x", (1, 1, 0), (1, 3, 0))])
     with pytest.raises(ValueError, match="collide"):
         interval_overlap_join(left, right, "a_start", "a_end", "a_start", "a_end", on=["g"])
+
+
+def test_asof_strategies_agree_on_null_keys_and_ts(spark):
+    """Right rows with NULL keys or NULL ts are never pickable under
+    compact (NULL equi-join / NULL <= ts); the union strategy's window
+    would group/sort them in — both must return identical rows."""
+    left = spark.createDataFrame(
+        [Row(k="a", ts=TS(2024, 1, 2), ev=1), Row(k=None, ts=TS(2024, 1, 2), ev=2)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", snap_ts=TS(2024, 1, 1), v=1.0),
+            Row(k=None, snap_ts=TS(2024, 1, 1), v=99.0),  # NULL key
+            Row(k="a", snap_ts=None, v=88.0),  # NULL ts
+        ]
+    )
+    outs = {
+        st: sorted(
+            asof_join(left, right, on="k", left_ts="ts", strategy=st).collect(),
+            key=lambda r: r.ev,
+        )
+        for st in ("compact", "union")
+    }
+    assert outs["compact"] == outs["union"]
+    assert outs["compact"][0].v == 1.0  # real snapshot picked
+    assert outs["compact"][1].v is None  # NULL-key left row: no match
+
+
+def test_degenerate_interval_yields_no_buckets(spark):
+    """end <= start must produce ZERO bucket replicas, not a descending
+    sequence spanning years (the sequence(b0, b1<b0) blow-up)."""
+    from socialmapper_spark.operators.temporal import (
+        interval_join,
+        interval_overlap_join,
+    )
+
+    pts = spark.createDataFrame([Row(g="x", ts=TS(2024, 1, 1, 1))])
+    bad = spark.createDataFrame(
+        [Row(iid=1, g="x", start_ts=TS(2026, 1, 1), end_ts=TS(1970, 1, 2))]
+    )
+    out = interval_join(pts, bad, point_ts="ts", on=["g"])
+    assert out.count() == 0
+    # overlap form: the degenerate side simply drops out
+    good = spark.createDataFrame(
+        [Row(jid=1, g="x", s2=TS(2024, 1, 1), e2=TS(2024, 1, 2))]
+    )
+    out2 = interval_overlap_join(
+        bad.withColumnRenamed("start_ts", "s1").withColumnRenamed("end_ts", "e1"),
+        good, "s1", "e1", "s2", "e2", on=["g"],
+    )
+    assert out2.count() == 0
+
+
+def test_interval_join_column_clash_rejected(spark):
+    from socialmapper_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([Row(g="x", ts=TS(2024, 1, 1, 1), label="p")])
+    iv = spark.createDataFrame(
+        [Row(g="x", start_ts=TS(2024, 1, 1), end_ts=TS(2024, 1, 2), label="i")]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, iv, point_ts="ts", on=["g"])
