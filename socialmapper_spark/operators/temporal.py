@@ -193,16 +193,20 @@ def _covered_buckets(start: Column, end: Column, width_us: int) -> Column:
     place the −1 µs invariant lives, shared by interval_join and
     interval_overlap_join.
 
-    Degenerate intervals (end <= start) yield an EMPTY array: without
-    the guard, Spark's ``sequence(b0, b1)`` with b1 < b0 generates a
-    DESCENDING sequence — a single corrupt row with end at epoch and
-    start years later would replicate into hundreds of thousands of
-    buckets (all later discarded by the exact filter), turning the
-    bounded fan-out contract into a blow-up. The explode then simply
-    drops the row."""
+    Degenerate intervals (end <= start) yield an EMPTY array. The guard
+    must test ``end > start`` directly, NOT ``b1 >= b0``: a degenerate
+    interval whose backwards span stays INSIDE one bucket still has
+    b1 == b0 and would get one replica — and the strict-inequality
+    overlap formula "passes" against empty intervals, so
+    interval_overlap_join would emit false pairs (caught by the
+    randomized brute-force parity test). The guard also prevents the
+    blow-up case: Spark's ``sequence(b0, b1)`` with b1 < b0 generates a
+    DESCENDING sequence, so one corrupt row with end at epoch and start
+    years later would replicate into hundreds of thousands of buckets.
+    The explode then simply drops the row."""
     b0 = F.floor(_micros(start) / F.lit(width_us)).cast("long")
     b1 = F.floor((_micros(end) - F.lit(1)) / F.lit(width_us)).cast("long")
-    return F.when(b1 >= b0, F.sequence(b0, b1)).otherwise(
+    return F.when(_micros(end) > _micros(start), F.sequence(b0, b1)).otherwise(
         F.array().cast("array<long>")
     )
 
@@ -266,8 +270,11 @@ def interval_overlap_join(
     """Inner interval-OVERLAP join: one output row per (left, right)
     interval pair with matching keys and ``l.start < r.end AND
     r.start < l.end`` (end-exclusive overlap — abutting intervals do
-    NOT match). Columns: all left columns + all right non-key columns
-    (a name clash raises, the asof_join contract).
+    NOT match, and a degenerate interval with ``end <= start`` is an
+    EMPTY set that overlaps nothing: it gets zero bucket replicas and
+    thus zero pairs, even though the raw strict-inequality formula
+    would "pass" against it). Columns: all left columns + all right
+    non-key columns (a name clash raises, the asof_join contract).
 
     Scale shape: BOTH sides replicate over the time buckets they cover
     (in-plan explode, no shuffle), Catalyst gets an equi-join on

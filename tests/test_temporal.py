@@ -369,3 +369,111 @@ def test_interval_join_column_clash_rejected(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         interval_join(pts, iv, point_ts="ts", on=["g"])
+
+
+def test_asof_randomized_strategy_parity_and_oracle(spark):
+    """Seeded random frames (duplicate ts, ties, NULL keys, NULL ts):
+    compact == union == a Python brute-force as-of oracle."""
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    keys = ["a", "b", "c", None]
+    lrows = [
+        Row(
+            k=rng.choice(keys),
+            ts=base + dt.timedelta(minutes=rng.randrange(0, 500)),
+            ev=i,
+        )
+        for i in range(200)
+    ]
+    rrows = [
+        Row(
+            k=rng.choice(keys),
+            snap_ts=(
+                None
+                if rng.random() < 0.1
+                else base + dt.timedelta(minutes=rng.randrange(0, 500))
+            ),
+            v=float(rng.randrange(0, 50)),
+        )
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(lrows)
+    right = spark.createDataFrame(rrows)
+    outs = {}
+    for st in ("compact", "union"):
+        outs[st] = sorted(
+            (r.ev, r.v, r.snap_ts)
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", strategy=st
+            ).collect()
+        )
+    assert outs["compact"] == outs["union"]
+    # brute force: max (snap_ts, v) among non-null-key/ts rows with
+    # snap_ts <= ts and same key (greatest payload breaks ts ties)
+    def pick(lr):
+        cands = [
+            (rr.snap_ts, rr.v)
+            for rr in rrows
+            if rr.k is not None
+            and rr.snap_ts is not None
+            and lr.k == rr.k
+            and rr.snap_ts <= lr.ts
+        ]
+        return max(cands) if cands else (None, None)
+
+    want = sorted((lr.ev, pick(lr)[1], pick(lr)[0]) for lr in lrows)
+    assert outs["compact"] == want
+
+
+def test_overlap_randomized_brute_force_parity(spark):
+    """Seeded random interval sets (degenerates, ties, multi-bucket
+    spans) vs the quadratic Python oracle."""
+    import random
+
+    from socialmapper_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, pid):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randrange(0, 300))
+            # ~15% degenerate or empty (end <= start)
+            delta = rng.randrange(-30, 120)
+            rows.append(
+                Row(
+                    **{
+                        f"{pid}_id": i,
+                        "g": rng.choice(["x", "y"]),
+                        f"{pid}_start": s,
+                        f"{pid}_end": s + dt.timedelta(minutes=delta),
+                    }
+                )
+            )
+        return rows
+
+    lrows, rrows = mk(80, "a"), mk(80, "b")
+    out = interval_overlap_join(
+        spark.createDataFrame(lrows),
+        spark.createDataFrame(rrows),
+        "a_start", "a_end", "b_start", "b_end",
+        on=["g"], bucket_seconds=1800,
+    )
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    # the strict-inequality pair test only MEANS "overlap" for
+    # non-degenerate intervals; an empty interval (end <= start)
+    # overlaps nothing, which is exactly what the operator returns
+    want = sorted(
+        (a.a_id, b.b_id)
+        for a in lrows
+        for b in rrows
+        if a.g == b.g
+        and a.a_end > a.a_start
+        and b.b_end > b.b_start
+        and a.a_start < b.b_end
+        and b.b_start < a.a_end
+    )
+    assert got == want
