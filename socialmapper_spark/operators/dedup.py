@@ -228,6 +228,25 @@ def near_dup_pairs_winnow(
     return pairs.filter(F.col("n_shared") >= min_shared)
 
 
+def _perm_hasher(i: int):
+    """Single-parameter lambda for ``F.transform`` hashing every shingle
+    under perm ``i``.
+
+    MUST stay single-parameter. The previous form — ``lambda s, i=i:
+    _md5_hash60(i, s)`` — has two parameters, so PySpark's arity sniff
+    passed the array INDEX column as ``i``; ``F.lit(f"{i}:")`` then
+    stringified that Column into the hash prefix (``"Column<'y_3'>:"``),
+    and because the lambda-variable counter behind the ``y_N`` name is
+    session-global, every signature silently depended on how many
+    lambdas the session had created before — the driver-gate stayed
+    green only because the documents fixture's near-dups collide under
+    ANY min-hash family, and a borderline 1-shared-band pair in the
+    pytest suite finally flaked. Pinned by
+    tests/test_training_ops.py::test_minhash_signature_matches_python_oracle.
+    """
+    return lambda s: _md5_hash60(i, s)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_perm: int = NUM_PERM) -> DataFrame:
     """Adds ``sig`` array<long> of minhash values (Catalyst only)."""
@@ -235,9 +254,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     df = df.withColumn("__shingles", sh)
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("__shingles"), lambda s, i=i: _md5_hash60(i, s))
-            )
+            F.array_min(F.transform(F.col("__shingles"), _perm_hasher(i)))
             for i in range(num_perm)
         ]
     )
@@ -945,3 +962,113 @@ def near_dup_pairs_simhash(
     # a pair may share several bands — hamming is pair-deterministic, so
     # distinct over the full row is the dedup
     return pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB form of `decontaminate`.
+#
+# The exact operator broadcasts the benchmark's DISTINCT GRAM STRINGS
+# (~50-100 bytes each: a 10M-gram benchmark suite is ~1 GB on every
+# executor) and joins on strings. This variant broadcasts only the
+# OCCUPIED BIT POSITIONS of a Bloom filter over those grams — at the
+# default m=2^20 that is ≤ 2^20 longs (8 MB hard cap, usually far less)
+# regardless of benchmark size — and joins on longs. Standard Bloom
+# semantics: no false negatives (every contaminated doc is flagged —
+# pytest pins flagged ⊇ exact-hit set), false positives at rate
+# ≈ (1 - e^{-k·n/m})^k (k=3, n grams, m bits; ~0.1% at n=2^17).
+#
+# Everything is cross-engine deterministic: bit positions are the repo's
+# shared md5-60 primitive (DuckDB: cast('0x'||substring(md5(..),1,15) as
+# ubigint)), so the DuckDB oracle reproduces the false positives EXACTLY
+# — the driver gate hash-checks the whole output, false positives
+# included. reference: socialmapper has no decontamination; this extends
+# the build-mandate dedup family (SURVEY.md "training-data ops").
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # bits in the filter
+BLOOM_K = 3  # hash probes per gram
+BLOOM_PREFIX = 9100  # md5-60 domain-separation base (minhash uses 0..15)
+
+
+def _bloom_bit(g: F.Column, i: int, m: int) -> F.Column:
+    """Probe i's bit position for gram g: md5-60(f'{9100+i}:{g}') % m."""
+    return _md5_hash60(BLOOM_PREFIX + i, g) % m
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = DECONTAM_NGRAM,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(id, n_flagged_grams, flagged) — Bloom-filter screen for docs
+    sharing an exact word ``ngram``-gram with the benchmark corpus.
+
+    ``n_flagged_grams`` counts the doc's distinct grams whose ``k`` bit
+    positions are ALL occupied (≥ the exact operator's n_hit_grams;
+    equality iff no false positive touched the doc). Use as the cheap
+    first pass at corpus scale; route the flagged minority through exact
+    :func:`decontaminate` when exactness is required.
+
+    Scale shape: the benchmark side collapses to ≤ min(k·n, m) distinct
+    long bit positions and BROADCASTS (bounded by m — 8 MB at the
+    default — no matter how large the benchmark set grows); the corpus
+    scan explodes each doc's distinct grams to k long probes and joins
+    map-side. Wide exchanges carry matched probe rows only: one keyed
+    (id, gram) to check all-k, one keyed id for the doc rollup.
+    """
+    bg = (
+        benchmark.select(F.explode(word_ngrams_col(F.col(text_col), ngram)).alias("g"))
+        .distinct()
+    )
+    bits = (
+        bg.select(
+            F.explode(F.array(*[_bloom_bit(F.col("g"), i, m) for i in range(k)])).alias(
+                "bit"
+            )
+        )
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), ngram))).alias("g"),
+    )
+    probes = dg.select(
+        id_col,
+        "g",
+        F.explode(F.array(*[_bloom_bit(F.col("g"), i, m) for i in range(k)])).alias(
+            "bit"
+        ),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("nbits"))
+        .filter(F.col("nbits") == k)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_flagged_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_flagged_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_flagged_grams"),
+            (F.coalesce(F.col("n_flagged_grams"), F.lit(0)) > 0).alias("flagged"),
+        )
+    )
+
+
+def bloom_bit_sql(gram_expr: str, i: int, m: int = BLOOM_M) -> str:
+    """DuckDB twin of :func:`_bloom_bit` — kept beside the Spark
+    expression so the two hash definitions cannot drift."""
+    md5_arg = f"'{BLOOM_PREFIX + i}:' || {gram_expr}"
+    return (
+        f"cast(cast(('0x' || substring(md5({md5_arg}), 1, 15)) as ubigint) "
+        f"% {m} as bigint)"
+    )

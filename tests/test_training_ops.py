@@ -32,6 +32,26 @@ def test_minhash_finds_near_and_exact_dups(spark, docs):
     assert not any(2 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_minhash_signature_matches_python_oracle(spark, docs):
+    """Pins sig to the md5-60 family md5(f'{i}:{shingle}') exactly.
+
+    Regression for the two-parameter-transform-lambda bug: PySpark's
+    arity sniff passed the array INDEX column as the perm number, whose
+    stringified lambda-variable name leaked into the hash prefix — and
+    that name comes from a session-global counter, so the signatures
+    (and hence borderline band collisions) changed with how many lambdas
+    the session had created before. This comparison against the
+    session-independent Python oracle fails on ANY run if that ever
+    regresses; the band-collision assertions above only flaked."""
+    from socialmapper_spark.fixtures import _minhash_py
+    from socialmapper_spark.operators.dedup import minhash_signature
+
+    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signature(docs).collect()}
+    for row in docs.collect():
+        exp_sig, _ = _minhash_py(row["text"])
+        assert got[row["doc_id"]] == exp_sig, row["doc_id"]
+
+
 def test_jaccard_verify_scores(spark, docs):
     pairs = near_dup_pairs_minhash(docs)
     verified = {
