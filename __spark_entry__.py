@@ -1332,6 +1332,19 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (the 100 TB screen): same benchmark
+    subset as q_decontaminate; broadcasts ≤ m occupied long bit
+    positions instead of the gram strings. Cross-engine-deterministic
+    md5-60 probes, so the DuckDB twin reproduces even the false
+    positives exactly."""
+    from socialmapper_spark.operators.dedup import decontaminate_bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_bloom(docs, bench)
+
+
 def q_admission_gate_stream(spark, sf_dir):
     """Streaming twin of the admission gate (stateless append mode) —
     row-equal to batch, checked against the SAME SQL oracle."""
@@ -1695,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified": q_jaccard_verified,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        # r5-new Bloom decontamination (rotation rule 3: no driver row yet)
+        "decontaminate_bloom": q_decontaminate_bloom,
         # r5-new LM quality scorer (rotation rule 3: no driver row yet)
         "unigram_familiarity": q_unigram_familiarity,
         "unigram_familiarity_salted": q_unigram_familiarity_salted,
@@ -2426,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 as contaminated
             from documents d left join h using (doc_id)
         """,
+        "decontaminate_bloom": _decontaminate_bloom_sql(),
         "blocklist": f"""
             with bl as (
                 select * from (values ('host3.example.org'),
@@ -3000,6 +3016,41 @@ def _grams8_sql(expr: str = "text") -> str:
     cnt = f"(len({sp}) - 7)"
     gram = " || ' ' || ".join(f"{sp}[i+{j}]" for j in range(8))
     return f"list_transform(range(1, {cnt} + 1), i -> {gram})"
+
+
+def _decontaminate_bloom_sql() -> str:
+    """DuckDB twin of operators.dedup.decontaminate_bloom at the registry's
+    benchmark subset (doc_id % 97 = 0). Bit positions come from
+    bloom_bit_sql — generated beside the Spark _bloom_bit expression, so
+    the two hash definitions cannot drift; DuckDB reproduces the Bloom
+    false positives bit-for-bit."""
+    from socialmapper_spark.operators.dedup import BLOOM_K, bloom_bit_sql
+
+    g8 = _grams8_sql()
+    probe_bits = ", ".join(bloom_bit_sql("g", i) for i in range(BLOOM_K))
+    return f"""
+        with bg as (
+            select distinct unnest({g8}) as g
+            from documents where doc_id % 97 = 0
+        ),
+        bits as (select distinct unnest([{probe_bits}]) as bit from bg),
+        dg as (
+            select doc_id, unnest(list_distinct({g8})) as g from documents
+        ),
+        probes as (select doc_id, g, unnest([{probe_bits}]) as bit from dg),
+        hg as (
+            select doc_id, g, count(*) as nbits
+            from probes join bits using (bit) group by doc_id, g
+        ),
+        h as (
+            select doc_id, count(*) as n from hg
+            where nbits = {BLOOM_K} group by doc_id
+        )
+        select d.doc_id,
+               cast(coalesce(h.n, 0) as bigint) as n_flagged_grams,
+               coalesce(h.n, 0) > 0 as flagged
+        from documents d left join h using (doc_id)
+    """
 
 
 def _repetition_sql() -> str:

@@ -376,3 +376,22 @@ def test_cosine_topk_many_with_empty_partitions(spark):
     a = {tuple(r) for r in cosine_topk_many(spark, emb, qids, k=4).collect()}
     b = {tuple(r) for r in cosine_topk(spark, emb, qids, k=4).collect()}
     assert a == b and len(a) == 12
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, docs):
+    """Bloom screen has NO false negatives: every exact hit is flagged,
+    and the flagged gram count bounds the exact hit count from above."""
+    from socialmapper_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    bench = docs.filter(F.col("doc_id").isin(0, 2))
+    ex = {r["doc_id"]: r["n_hit_grams"] for r in decontaminate(docs, bench).collect()}
+    bl = {
+        r["doc_id"]: (r["n_flagged_grams"], r["flagged"])
+        for r in decontaminate_bloom(docs, bench).collect()
+    }
+    assert set(ex) == set(bl)
+    for d, nh in ex.items():
+        nf, flagged = bl[d]
+        assert nf >= nh, d
+        if nh > 0:
+            assert flagged, d
