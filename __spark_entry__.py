@@ -1345,6 +1345,30 @@ def q_decontaminate_bloom(spark, sf_dir):
     return decontaminate_bloom(docs, bench)
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (crawl-frontier prioritization): edges are
+    derived deterministically from the crawl table — each distinct url
+    on host h links to host (item*31+7) mod 16 — then ranked with 5
+    fixed-point integer PageRank rounds (operators/graph.py). All-int64
+    update rule, so the DuckDB unrolled-CTE twin is bit-identical."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.graph import pagerank
+    from socialmapper_spark.operators.web import page_host
+
+    g = ensure_crawl_fixture(sf_dir)
+    pages = spark.read.parquet(f"{g}/crawl_pages.parquet")
+    item = F.regexp_extract("url", "/item/([0-9]+)", 1).cast("long")
+    edges = pages.select("url").distinct().select(
+        page_host(F.col("url")).alias("src"),
+        F.concat(
+            F.lit("host"),
+            F.pmod(item * 31 + 7, F.lit(16)).cast("string"),
+            F.lit(".example.org"),
+        ).alias("dst"),
+    )
+    return pagerank(edges).withColumnRenamed("node", "host")
+
+
 def q_admission_gate_stream(spark, sf_dir):
     """Streaming twin of the admission gate (stateless append mode) —
     row-equal to batch, checked against the SAME SQL oracle."""
@@ -1710,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # r5-new Bloom decontamination (rotation rule 3: no driver row yet)
         "decontaminate_bloom": q_decontaminate_bloom,
+        # r5-new host-graph PageRank (rotation rule 3: no driver row yet)
+        "host_pagerank": q_host_pagerank,
         # r5-new LM quality scorer (rotation rule 3: no driver row yet)
         "unigram_familiarity": q_unigram_familiarity,
         "unigram_familiarity_salted": q_unigram_familiarity_salted,
@@ -2442,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
             from documents d left join h using (doc_id)
         """,
         "decontaminate_bloom": _decontaminate_bloom_sql(),
+        "host_pagerank": _host_pagerank_sql(g),
         "blocklist": f"""
             with bl as (
                 select * from (values ('host3.example.org'),
@@ -3051,6 +3078,27 @@ def _decontaminate_bloom_sql() -> str:
                coalesce(h.n, 0) > 0 as flagged
         from documents d left join h using (doc_id)
     """
+
+
+def _host_pagerank_sql(g: str) -> str:
+    """DuckDB twin of q_host_pagerank: the same deterministic edge
+    derivation feeding operators.graph.pagerank_sql's unrolled
+    integer-update CTEs (generated beside the Spark loop)."""
+    from socialmapper_spark.operators.graph import pagerank_sql
+
+    edges = f"""
+        select regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1) as src,
+               'host' || cast(
+                   (cast(regexp_extract(url, '/item/([0-9]+)', 1) as bigint)
+                    * 31 + 7) % 16 as varchar) || '.example.org' as dst,
+               1 as w
+        from (select distinct url from read_parquet('{g}/crawl_pages.parquet'))
+    """
+    return (
+        "select node as host, rank_fp, rank from (\n"
+        + pagerank_sql(edges)
+        + "\n) q"
+    )
 
 
 def _repetition_sql() -> str:
