@@ -1369,6 +1369,39 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(edges).withColumnRenamed("node", "host")
 
 
+def q_item_pagerank(spark, sf_dir):
+    """Page-level PageRank at meaningful graph size (~66k nodes at
+    sf0.1 vs 16 hosts in host_pagerank): each distinct crawl item i
+    emits two deterministic out-edges into a 4096-hub space
+    ((i*31+7) mod 4096 and (i*131+29) mod 4096) — a skewed in-degree
+    link graph (few hub pages absorb most links, the web norm). Same
+    integer update rule; the DuckDB twin unrolls the same 5 rounds."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.graph import pagerank
+
+    g = ensure_crawl_fixture(sf_dir)
+    pages = spark.read.parquet(f"{g}/crawl_pages.parquet")
+    item = F.regexp_extract("url", "/item/([0-9]+)", 1).cast("long")
+    edges = (
+        pages.select(item.alias("i"))
+        .distinct()
+        .select(
+            "i",
+            F.explode(
+                F.array(
+                    F.pmod(F.col("i") * 31 + 7, F.lit(4096)),
+                    F.pmod(F.col("i") * 131 + 29, F.lit(4096)),
+                )
+            ).alias("d"),
+        )
+        .select(
+            F.concat(F.lit("i"), F.col("i").cast("string")).alias("src"),
+            F.concat(F.lit("i"), F.col("d").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges).withColumnRenamed("node", "item")
+
+
 def q_admission_gate_stream(spark, sf_dir):
     """Streaming twin of the admission gate (stateless append mode) —
     row-equal to batch, checked against the SAME SQL oracle."""
@@ -1736,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         # r5-new host-graph PageRank (rotation rule 3: no driver row yet)
         "host_pagerank": q_host_pagerank,
+        "item_pagerank": q_item_pagerank,
         # r5-new LM quality scorer (rotation rule 3: no driver row yet)
         "unigram_familiarity": q_unigram_familiarity,
         "unigram_familiarity_salted": q_unigram_familiarity_salted,
@@ -2469,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate_bloom": _decontaminate_bloom_sql(),
         "host_pagerank": _host_pagerank_sql(g),
+        "item_pagerank": _item_pagerank_sql(g),
         "blocklist": f"""
             with bl as (
                 select * from (values ('host3.example.org'),
@@ -3096,6 +3131,32 @@ def _host_pagerank_sql(g: str) -> str:
     """
     return (
         "select node as host, rank_fp, rank from (\n"
+        + pagerank_sql(edges)
+        + "\n) q"
+    )
+
+
+def _item_pagerank_sql(g: str) -> str:
+    """DuckDB twin of q_item_pagerank: same two-out-edge derivation per
+    distinct item feeding the generated unrolled-CTE integer PageRank."""
+    from socialmapper_spark.operators.graph import pagerank_sql
+
+    edges = f"""
+        with items as (
+            select distinct cast(regexp_extract(url, '/item/([0-9]+)', 1)
+                                 as bigint) as i
+            from read_parquet('{g}/crawl_pages.parquet')
+        )
+        select 'i' || cast(i as varchar) as src,
+               'i' || cast((i * 31 + 7) % 4096 as varchar) as dst, 1 as w
+        from items
+        union all
+        select 'i' || cast(i as varchar),
+               'i' || cast((i * 131 + 29) % 4096 as varchar), 1
+        from items
+    """
+    return (
+        "select node as item, rank_fp, rank from (\n"
         + pagerank_sql(edges)
         + "\n) q"
     )

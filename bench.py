@@ -135,6 +135,12 @@ def main() -> None:
         # aggs -> term-dictionary join -> per-doc agg; checksum sink
         # because the output is a non-filtering projection
         ("unigram_familiarity", lambda: checksum_all(entrymod.unigram_familiarity_frame(docs))),
+        # iterative graph rank (r5): 5 integer PageRank rounds over the
+        # ~66k-node item link graph (each round one hash join + one int
+        # sum, plan truncated by eager localCheckpoint). count() is a
+        # fine sink HERE: the per-round work is forced by the checkpoints
+        # regardless of final-projection pruning.
+        ("item_pagerank", lambda: entrymod.q_item_pagerank(spark, sf_dir).count()),
     ]
 
     # interleaved best-of-N: the sandbox host has 2-3x run-to-run noise, so

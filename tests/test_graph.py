@@ -67,6 +67,25 @@ def test_pagerank_dangling_and_unweighted(spark):
     assert got["a"] == base
 
 
+def test_pagerank_checkpoint_interval_invariant(spark):
+    """WHERE the plan is cut cannot change any rank (exact integer
+    update rule) — intervals 1 and 5 must be bit-identical."""
+    df = spark.createDataFrame(EDGES, "src string, dst string, w int")
+    a = {r["node"]: r["rank_fp"]
+         for r in pagerank(df, weight_col="w", checkpoint_interval=1).collect()}
+    b = {r["node"]: r["rank_fp"]
+         for r in pagerank(df, weight_col="w", checkpoint_interval=5).collect()}
+    assert a == b
+
+
+def test_pagerank_rejects_bad_interval(spark):
+    import pytest
+
+    df = spark.createDataFrame(EDGES, "src string, dst string, w int")
+    with pytest.raises(ValueError):
+        pagerank(df, checkpoint_interval=0)
+
+
 def test_pagerank_float_rank_is_single_division(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string, w int")
     for r in pagerank(df, weight_col="w").collect():
