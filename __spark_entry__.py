@@ -1402,6 +1402,47 @@ def q_item_pagerank(spark, sf_dir):
     return pagerank(edges).withColumnRenamed("node", "item")
 
 
+def q_hll_snapshots(spark, sf_dir):
+    """Per-host distinct-snapshot cardinality via the deterministic
+    HyperLogLog sketch (operators/sketch.py, p=8 → 256 registers,
+    rse ~6.5%): key = snapshot text (~940 distinct per host at sf0.01,
+    load ≈ 3.7·m — inside raw-HLL's accurate regime). The register
+    build is one map-side-combinable max keyed (host, idx); the DuckDB
+    twin (hll_sql, generated beside the operator) reproduces hash,
+    registers, and the single-IEEE-division estimate bit-exactly."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.sketch import hll_cardinality
+    from socialmapper_spark.operators.web import page_host
+
+    g = ensure_crawl_fixture(sf_dir)
+    pages = spark.read.parquet(f"{g}/crawl_pages.parquet")
+    return hll_cardinality(
+        pages.select(page_host(F.col("url")).alias("host"), "text"),
+        "text",
+        ("host",),
+        p=8,
+    ).orderBy("host")
+
+
+def q_cms_host_snapshots(spark, sf_dir):
+    """Per-host snapshot frequency via a 4×2048 count-min sketch
+    (operators/sketch.py): the sketch is ONE combinable integer sum
+    bounded at d·w counter rows however large the crawl, broadcast to
+    the probe join. Estimates are exact-or-over by construction; with
+    16 hosts vs 8192 counters, collisions are improbable and the
+    estimates equal the exact counts — the DuckDB twin (cms_sql) is
+    bit-exact either way."""
+    from socialmapper_spark.fixtures import ensure_crawl_fixture
+    from socialmapper_spark.operators.sketch import cms_counts
+    from socialmapper_spark.operators.web import page_host
+
+    g = ensure_crawl_fixture(sf_dir)
+    pages = spark.read.parquet(f"{g}/crawl_pages.parquet")
+    return cms_counts(
+        pages.select(page_host(F.col("url")).alias("host")), "host"
+    ).orderBy("host")
+
+
 def q_admission_gate_stream(spark, sf_dir):
     """Streaming twin of the admission gate (stateless append mode) —
     row-equal to batch, checked against the SAME SQL oracle."""
@@ -1770,6 +1811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5-new host-graph PageRank (rotation rule 3: no driver row yet)
         "host_pagerank": q_host_pagerank,
         "item_pagerank": q_item_pagerank,
+        # r5-new mergeable sketches (rotation rule 3: no driver row yet)
+        "hll_snapshots": q_hll_snapshots,
+        "cms_host_snapshots": q_cms_host_snapshots,
         # r5-new LM quality scorer (rotation rule 3: no driver row yet)
         "unigram_familiarity": q_unigram_familiarity,
         "unigram_familiarity_salted": q_unigram_familiarity_salted,
@@ -2504,6 +2548,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _decontaminate_bloom_sql(),
         "host_pagerank": _host_pagerank_sql(g),
         "item_pagerank": _item_pagerank_sql(g),
+        "hll_snapshots": _hll_snapshots_sql(g),
+        "cms_host_snapshots": _cms_host_snapshots_sql(g),
         "blocklist": f"""
             with bl as (
                 select * from (values ('host3.example.org'),
@@ -3159,6 +3205,33 @@ def _item_pagerank_sql(g: str) -> str:
         "select node as item, rank_fp, rank from (\n"
         + pagerank_sql(edges)
         + "\n) q"
+    )
+
+
+def _hll_snapshots_sql(g: str) -> str:
+    """DuckDB twin of q_hll_snapshots: the generated HLL pipeline
+    (operators/sketch.hll_sql — same md5-60 hash, integer registers,
+    and single-IEEE-division estimate) grouped by the shared host
+    regexp."""
+    from socialmapper_spark.operators.sketch import hll_sql
+
+    return hll_sql(
+        f"read_parquet('{g}/crawl_pages.parquet')",
+        "text",
+        {"host": "regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1)"},
+        p=8,
+    )
+
+
+def _cms_host_snapshots_sql(g: str) -> str:
+    """DuckDB twin of q_cms_host_snapshots: generated count-min
+    build+probe (operators/sketch.cms_sql) over the same host key."""
+    from socialmapper_spark.operators.sketch import cms_sql
+
+    return cms_sql(
+        f"read_parquet('{g}/crawl_pages.parquet')",
+        "regexp_extract(url, '://(?:[^/@?#]*@)?([^/:?#]+)', 1)",
+        out_key="host",
     )
 
 
